@@ -1,0 +1,236 @@
+"""Fixed-shape, differentiable polygon geometry for TPU.
+
+The reference computes its polygon-IoU loss with a per-object Python
+Weiler-Atherton boundary walk on GPU tensors (reference:
+src/lib/models/losses.py:373-628, invoked at :876-888) — data-dependent
+control flow that cannot be compiled.  Here the same quantity (exact area of
+intersection of two simple polygons) is computed with static shapes:
+
+    area(P ∩ Q) = | Σ_i Σ_j  s_i s_j  area(T_i ∩ T_j) |
+
+where T_i = (O, p_i, p_{i+1}) are fan triangles from a fixed origin and
+s_i = sign of the triangle's signed area.  The inner term is a convex
+triangle-triangle intersection (Sutherland-Hodgman with a padded ≤8-vertex
+buffer).  The identity holds for arbitrary simple polygons because the
+signed fan coverage equals the winding number, which is {0, ±1} for simple
+polygons.  Everything is jnp, vmappable over (batch, objects), and
+differentiable almost everywhere.
+
+Conventions: polygons are (N, 2) arrays of (x, y); polar points are
+(r, theta) with the reference's quadrant fix (losses.py:469-476,
+sample/polydet.py:255-263).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-9
+
+
+def polar_to_cartesian(poly_rt: jnp.ndarray) -> jnp.ndarray:
+    """(..., N, 2) (r, theta) -> (x, y) = (r cos t, r sin t)."""
+    r = poly_rt[..., 0]
+    t = poly_rt[..., 1]
+    return jnp.stack([r * jnp.cos(t), r * jnp.sin(t)], axis=-1)
+
+
+def cartesian_to_polar(poly_xy: jnp.ndarray) -> jnp.ndarray:
+    """(..., N, 2) (x, y) -> (r, theta) with theta in [0, 2pi).
+
+    Matches the reference's atan quadrant correction exactly
+    (sample/polydet.py:258-263): theta = atan((y+1e-8)/(x+1e-8)), +pi when
+    x<0, +2pi when x>=0 and y<0.
+    """
+    x = poly_xy[..., 0]
+    y = poly_xy[..., 1]
+    r = jnp.sqrt(x * x + y * y)
+    t = jnp.arctan((y + 1e-8) / (x + 1e-8))
+    t = jnp.where(x < 0, t + jnp.pi, jnp.where(y < 0, t + 2 * jnp.pi, t))
+    return jnp.stack([r, t], axis=-1)
+
+
+def polygon_area(poly: jnp.ndarray) -> jnp.ndarray:
+    """Unsigned shoelace area of (..., N, 2) cartesian polygons.
+
+    Note: the reference's `area()` (losses.py:25-41) double-counts the first
+    cross term (it sums N+1 edge terms); this is the corrected formula.
+    """
+    x = poly[..., 0]
+    y = poly[..., 1]
+    xn = jnp.roll(x, -1, axis=-1)
+    yn = jnp.roll(y, -1, axis=-1)
+    return 0.5 * jnp.abs(jnp.sum(x * yn - y * xn, axis=-1))
+
+
+def signed_area(poly: jnp.ndarray) -> jnp.ndarray:
+    x = poly[..., 0]
+    y = poly[..., 1]
+    xn = jnp.roll(x, -1, axis=-1)
+    yn = jnp.roll(y, -1, axis=-1)
+    return 0.5 * jnp.sum(x * yn - y * xn, axis=-1)
+
+
+def polygon_area_masked(poly: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Shoelace area over the valid prefix of a padded polygon.
+
+    `mask` is (..., N) with ones for the first V vertices.  Invalid slots are
+    replaced by the first vertex, so the closing edge V-1 -> 0 is preserved
+    and duplicate padded vertices contribute zero to the sum.
+    """
+    m = mask[..., None].astype(bool)
+    p = jnp.where(m, poly, poly[..., 0:1, :])
+    x = p[..., 0]
+    y = p[..., 1]
+    xn = jnp.roll(x, -1, axis=-1)
+    yn = jnp.roll(y, -1, axis=-1)
+    return 0.5 * jnp.abs(jnp.sum(x * yn - y * xn, axis=-1))
+
+
+def _clip_one_edge(poly, valid, a, b):
+    """Clip padded polygon (V, 2)+(V,) by half-plane left of edge a->b.
+
+    Sutherland-Hodgman stage with static output size. For each directed edge
+    (p_i, p_{i+1}) of the subject polygon the stage emits up to 2 points
+    (intersection, endpoint); compaction to a dense prefix uses a cumsum
+    scatter.  V must be >= true max vertex count after the clip.
+    """
+    v = poly.shape[0]
+    nxt = jnp.roll(poly, -1, axis=0)
+    nxt_valid = jnp.roll(valid, -1, axis=0)
+    # Treat the polygon cyclically over its valid prefix: the "next" of the
+    # last valid vertex is vertex 0.  Build explicit next-pointers.
+    idx = jnp.arange(v)
+    last = jnp.maximum(jnp.sum(valid.astype(jnp.int32)) - 1, 0)
+    nxt = jnp.where((idx == last)[:, None], poly[0][None, :], nxt)
+    nxt_valid = jnp.where(idx == last, valid[0], nxt_valid)
+
+    d = b - a
+
+    def side(p):
+        return d[0] * (p[..., 1] - a[1]) - d[1] * (p[..., 0] - a[0])
+
+    s_cur = side(poly)
+    s_nxt = side(nxt)
+    # Intersection of segment (p, n) with the clip line.
+    denom = s_cur - s_nxt
+    t = s_cur / jnp.where(jnp.abs(denom) < _EPS, _EPS, denom)
+    t = jnp.clip(t, 0.0, 1.0)
+    inter = poly + t[:, None] * (nxt - poly)
+
+    cur_in = s_cur >= 0
+    nxt_in = s_nxt >= 0
+    seg_valid = valid & nxt_valid
+
+    # Emission table per segment: [emit_inter, emit_next_endpoint]
+    emit_inter = seg_valid & (cur_in ^ nxt_in)
+    emit_next = seg_valid & nxt_in
+
+    pts = jnp.stack([inter, nxt], axis=1).reshape(2 * v, 2)
+    emit = jnp.stack([emit_inter, emit_next], axis=1).reshape(2 * v)
+
+    # Dense compaction: position of each emitted point in the output prefix.
+    # Non-emitted (and overflow) slots scatter out of range and are dropped.
+    pos = jnp.cumsum(emit.astype(jnp.int32)) - 1
+    n_out = jnp.sum(emit.astype(jnp.int32))
+    pos_safe = jnp.where(emit, pos, v)
+    out = jnp.zeros((v, 2), dtype=poly.dtype)
+    out = out.at[pos_safe].add(jnp.where(emit[:, None], pts, 0.0), mode="drop")
+    out_valid = jnp.arange(v) < n_out
+    # Pad tail with the last valid vertex so masked shoelace closes cleanly.
+    last_out = out[jnp.maximum(n_out - 1, 0)]
+    out = jnp.where(out_valid[:, None], out, last_out[None, :])
+    return out, out_valid
+
+
+def clip_convex(subject: jnp.ndarray, clip_poly: jnp.ndarray,
+                out_size: int | None = None):
+    """Clip a polygon by a *convex* CCW polygon (Sutherland-Hodgman).
+
+    Args:
+      subject: (N, 2) polygon (any simple polygon).
+      clip_poly: (M, 2) convex polygon in CCW order.
+      out_size: padded output vertex count (default N + M).
+
+    Returns (out_size, 2) padded vertices and (out_size,) validity mask.
+    TPU-native counterpart of the reference's PolygonClipper
+    (losses.py:630-789) with static shapes.
+    """
+    n = subject.shape[0]
+    m = clip_poly.shape[0]
+    if out_size is None:
+        out_size = n + m
+    poly = jnp.concatenate(
+        [subject, jnp.broadcast_to(subject[-1], (out_size - n, 2))], axis=0
+    )
+    valid = jnp.arange(out_size) < n
+
+    def body(carry, edge):
+        p, v = carry
+        a, b = edge
+        p, v = _clip_one_edge(p, v, a, b)
+        return (p, v), None
+
+    edges = (clip_poly, jnp.roll(clip_poly, -1, axis=0))
+    (poly, valid), _ = jax.lax.scan(body, (poly, valid),
+                                    (edges[0], edges[1]))
+    return poly, valid
+
+
+def _tri_tri_intersection_area(t1: jnp.ndarray, t2: jnp.ndarray) -> jnp.ndarray:
+    """Area of intersection of two triangles (each (3, 2), any orientation)."""
+    # Orient both CCW so the half-plane test in clip is consistent.
+    def ccw(t):
+        s = signed_area(t)
+        return jnp.where(s < 0, t[::-1], t)
+
+    t1 = ccw(t1)
+    t2 = ccw(t2)
+    poly, valid = clip_convex(t1, t2, out_size=8)
+    return polygon_area_masked(poly, valid.astype(poly.dtype))
+
+
+def polygon_intersection_area(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """Exact area of intersection of two simple polygons, fixed shape.
+
+    p: (N, 2), q: (M, 2) cartesian.  Differentiable a.e.  Replaces the
+    reference's WeilPolygonClipper walk + area (losses.py:488-628, 25-41).
+    """
+    n = p.shape[0]
+    m = q.shape[0]
+    origin = jnp.zeros((2,), dtype=p.dtype)
+
+    def fan(poly, k):
+        a = jnp.broadcast_to(origin, (k, 2))
+        b = poly
+        c = jnp.roll(poly, -1, axis=0)
+        tris = jnp.stack([a, b, c], axis=1)  # (k, 3, 2)
+        signs = jnp.sign(signed_area(tris))
+        return tris, signs
+
+    tp, sp = fan(p, n)
+    tq, sq = fan(q, m)
+
+    pair_area = jax.vmap(
+        lambda t1: jax.vmap(lambda t2: _tri_tri_intersection_area(t1, t2))(tq)
+    )(tp)  # (N, M)
+    total = jnp.sum(sp[:, None] * sq[None, :] * pair_area)
+    return jnp.abs(total)
+
+
+def polygon_iou(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
+    """IoU of two simple polygons with the reference's degenerate fallback.
+
+    When the computed intersection is ~0, the reference substitutes
+    min(area_p, area_q) (losses.py:884-886) so a fully-contained or failed
+    clip still produces signal; reproduced here.
+    """
+    inter = polygon_intersection_area(p, q)
+    ap = polygon_area(p)
+    aq = polygon_area(q)
+    fallback = jnp.minimum(ap, aq)
+    inter = jnp.where(inter <= _EPS, fallback, inter)
+    union = ap + aq - inter
+    return inter / (union + 1e-6)
