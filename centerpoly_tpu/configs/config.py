@@ -1,0 +1,211 @@
+"""Typed experiment configuration.
+
+Replaces the reference's argparse `opts` class (reference:
+src/lib/opts.py:9-459) with a dataclass carrying the same semantic surface:
+task / dataset / arch / rep axes, loss weights, augmentation and test-time
+options, plus the derived head table.  Known reference defects are fixed,
+not replicated (SURVEY.md §5): the undefined `r_variation` attribute, the
+duplicate `reg` head update, and the `--polar_order` script typo.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Dict, Optional, Tuple
+
+
+DATASET_INFO = {
+    # dataset -> (default_resolution (h, w), num_classes, mean, std)
+    "cityscapes": (
+        (512, 1024), 8,
+        (0.28405, 0.322669, 0.28169),
+        (0.042303, 0.040882, 0.042699),
+    ),
+    "kitti_poly": (
+        (384, 1280), 8,
+        (0.28405, 0.322669, 0.28169),
+        (0.042303, 0.040882, 0.042699),
+    ),
+    "IDD": (
+        (512, 1024), 8,
+        (0.28405, 0.322669, 0.28169),
+        (0.042303, 0.040882, 0.042699),
+    ),
+    "coco": ((512, 512), 80, (0.408, 0.447, 0.470), (0.289, 0.274, 0.278)),
+    "pascal": ((384, 384), 20, (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+    "kitti": ((384, 1280), 3, (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+    "uadetrac": ((512, 512), 4, (0.408, 0.447, 0.470), (0.289, 0.274, 0.278)),
+    "uav": ((512, 512), 4, (0.408, 0.447, 0.470), (0.289, 0.274, 0.278)),
+    "coco_hp": ((512, 512), 1, (0.408, 0.447, 0.470), (0.289, 0.274, 0.278)),
+}
+
+
+def task_heads(task: str, num_classes: int, nbr_points: int = 16,
+               reg_offset: bool = True, cat_spec_poly: bool = False,
+               cat_spec_wh: bool = False) -> Dict[str, int]:
+    """Head table per task (ref opts.py:332-425)."""
+    if task == "polydet":
+        heads = {
+            "hm": num_classes,
+            "poly": nbr_points * 2 * (num_classes if cat_spec_poly else 1),
+            "pseudo_depth": 1,
+        }
+    elif task == "ctdet":
+        heads = {"hm": num_classes,
+                 "wh": 2 * (num_classes if cat_spec_wh else 1)}
+    elif task == "ddd":
+        heads = {"hm": num_classes, "dep": 1, "rot": 8, "dim": 3, "wh": 2}
+    elif task == "exdet":
+        heads = {"hm_t": num_classes, "hm_l": num_classes,
+                 "hm_b": num_classes, "hm_r": num_classes,
+                 "hm_c": num_classes}
+        if reg_offset:
+            heads.update({"reg_t": 2, "reg_l": 2, "reg_b": 2, "reg_r": 2})
+        return heads
+    elif task == "multi_pose":
+        heads = {"hm": num_classes, "wh": 2, "hps": 34, "hm_hp": 17,
+                 "hp_offset": 2}
+    else:
+        raise ValueError(f"unknown task '{task}'")
+    if reg_offset:
+        heads["reg"] = 2
+    return heads
+
+
+@dataclasses.dataclass
+class Config:
+    """One experiment. Field names/defaults track reference opts.py."""
+    # experiment
+    task: str = "polydet"
+    dataset: str = "cityscapes"
+    exp_id: str = "default"
+    arch: str = "dla_34"
+    load_model: str = ""
+    resume: bool = False
+    seed: int = 317
+    data_dir: str = "data"
+    save_dir: str = "exp"
+
+    # model
+    head_conv: int = -1            # -1 -> 256 for dla/hourglass, 64 for res
+    down_ratio: int = 4
+    rep: str = "cartesian"         # cartesian | polar | polar_fixed
+    nbr_points: int = 16
+    cat_spec_poly: bool = False
+    cat_spec_wh: bool = False
+    reg_offset: bool = True
+
+    # input
+    input_h: int = -1
+    input_w: int = -1
+
+    # train
+    lr: float = 1.25e-4
+    lr_step: Tuple[int, ...] = (90, 120)
+    num_epochs: int = 240
+    batch_size: int = 32
+    val_intervals: int = 5
+    grad_clip: Optional[float] = None
+    num_workers: int = 4
+
+    # loss
+    mse_loss: bool = False
+    poly_loss: str = "l1"          # l1 | iou | l1+iou | relu
+    poly_order: bool = False
+    elliptical_gt: bool = True     # paper runs use it
+    hm_weight: float = 1.0
+    off_weight: float = 1.0
+    poly_weight: float = 1.0
+    depth_weight: float = 0.1
+    wh_weight: float = 0.1
+
+    # augmentation
+    not_rand_crop: bool = False
+    shift: float = 0.1
+    scale: float = 0.4
+    flip: float = 0.5
+    no_reorder_flip: bool = False
+    no_color_aug: bool = False
+
+    # test
+    test_scales: Tuple[float, ...] = (1.0,)
+    nms: bool = False
+    K: int = 128
+    thresh: float = 0.05
+    fix_res: bool = True
+    flip_test: bool = False
+    vis_thresh: float = 0.3
+
+    # oracle eval (SURVEY §4: the reference's decoupling harness)
+    eval_oracle_hm: bool = False
+    eval_oracle_poly: bool = False
+    eval_oracle_offset: bool = False
+    eval_oracle_pseudo_depth: bool = False
+
+    # parallelism (TPU-native axis; reference analog: chunk_sizes/gpus)
+    mesh_shape: Tuple[int, ...] = (-1,)   # -1 = all devices on 'data'
+    mixed_precision: bool = True          # bf16 conv compute
+
+    # -- derived --------------------------------------------------------
+    def __post_init__(self):
+        info = DATASET_INFO.get(self.dataset)
+        if info is None:
+            raise ValueError(f"unknown dataset '{self.dataset}'")
+        (dh, dw), ncls, mean, std = info
+        self.num_classes = ncls
+        self.mean = mean
+        self.std = std
+        if self.input_h <= 0:
+            self.input_h = dh
+        if self.input_w <= 0:
+            self.input_w = dw
+        if self.head_conv == -1:
+            self.head_conv = 256 if (
+                "dla" in self.arch or "hourglass" in self.arch) else 64
+        self.pad = 127 if "hourglass" in self.arch else 31
+        self.num_stacks = 2 if self.arch == "hourglass" else 1
+        self.output_h = self.input_h // self.down_ratio
+        self.output_w = self.input_w // self.down_ratio
+        self.max_objs = 128
+        self.heads = task_heads(
+            self.task, self.num_classes, self.nbr_points,
+            self.reg_offset, self.cat_spec_poly, self.cat_spec_wh)
+
+    def to_json(self) -> str:
+        d = {k: v for k, v in dataclasses.asdict(self).items()}
+        for k in ("heads",):
+            d[k] = dict(getattr(self, k))
+        return json.dumps(d, indent=2, default=str)
+
+    @classmethod
+    def from_args(cls, argv=None) -> "Config":
+        """CLI front-end mirroring the reference flag surface."""
+        import argparse
+
+        parser = argparse.ArgumentParser(description="centerpoly_tpu")
+        parser.add_argument("task", nargs="?", default="polydet")
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        for name, f in fields.items():
+            if name == "task":
+                continue
+            if f.type == "bool" or isinstance(f.default, bool):
+                parser.add_argument(f"--{name}", action="store_true",
+                                    default=f.default)
+            elif isinstance(f.default, tuple):
+                parser.add_argument(f"--{name}", type=str,
+                                    default=",".join(map(str, f.default)))
+            elif f.default is None:
+                parser.add_argument(f"--{name}", type=float, default=None)
+            else:
+                parser.add_argument(f"--{name}", type=type(f.default),
+                                    default=f.default)
+        ns = parser.parse_args(argv)
+        kwargs = {}
+        for name, f in fields.items():
+            v = getattr(ns, name)
+            if isinstance(f.default, tuple) and isinstance(v, str):
+                elems = [x for x in v.split(",") if x]
+                cast = float if name == "test_scales" else int
+                v = tuple(cast(x) for x in elems)
+            kwargs[name] = v
+        return cls(**kwargs)

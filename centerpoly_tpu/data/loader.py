@@ -1,0 +1,72 @@
+"""Batch loader with background prefetch.
+
+Replaces the reference's torch DataLoader workers (src/main.py:141-148)
+with a double-buffered thread prefetcher: sample encoding (numpy, GIL-released
+cv2/numpy ops) overlaps device compute.  Fixed batch shapes -> no
+recompilation.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, Optional
+
+import numpy as np
+
+
+def stack_batch(samples) -> Dict[str, np.ndarray]:
+    out = {}
+    for key in samples[0]:
+        if key == "meta":
+            out[key] = [s[key] for s in samples]
+        else:
+            out[key] = np.stack([np.asarray(s[key]) for s in samples])
+    return out
+
+
+class Loader:
+    """Iterate shuffled fixed-size batches from a sampler."""
+
+    def __init__(self, sampler: Callable[[int], dict], num_samples: int,
+                 batch_size: int, shuffle: bool = True, drop_last: bool = True,
+                 prefetch: int = 2, seed: int = 0):
+        self.sampler = sampler
+        self.num_samples = num_samples
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        if self.drop_last:
+            return self.num_samples // self.batch_size
+        return (self.num_samples + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self):
+        idx = np.arange(self.num_samples)
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        n = len(self) * self.batch_size if self.drop_last else len(idx)
+        for i in range(0, n, self.batch_size):
+            yield idx[i:i + self.batch_size]
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for batch_idx in self._index_batches():
+                    samples = [self.sampler(int(i)) for i in batch_idx]
+                    q.put(stack_batch(samples))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

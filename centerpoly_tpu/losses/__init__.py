@@ -1,0 +1,16 @@
+from .focal import focal_loss, clamped_sigmoid
+from .regression import reg_l1_loss, reg_smooth_l1_loss
+from .poly import poly_loss, order_loss, poly_iou_loss
+from .polydet import PolydetLossConfig, polydet_loss
+
+__all__ = [
+    "focal_loss",
+    "clamped_sigmoid",
+    "reg_l1_loss",
+    "reg_smooth_l1_loss",
+    "poly_loss",
+    "order_loss",
+    "poly_iou_loss",
+    "PolydetLossConfig",
+    "polydet_loss",
+]

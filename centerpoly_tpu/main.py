@@ -1,0 +1,50 @@
+"""Train entry point: `python -m centerpoly_tpu.main polydet --dataset
+cityscapes --arch dla_34 ...` (reference surface: src/main.py)."""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    from .configs import Config
+    from .data import CocoPolyAnnotations, PolydetSampler, DATASETS, Loader
+    from .train.trainer import Trainer
+    from .utils.logger import Logger
+
+    cfg = Config.from_args(argv)
+    np.random.seed(cfg.seed)
+
+    meta_cls = DATASETS.get(cfg.dataset)
+    if meta_cls is None:
+        raise SystemExit(f"dataset '{cfg.dataset}' has no adapter")
+    meta = meta_cls(cfg.data_dir, cfg.nbr_points)
+
+    train_ann = CocoPolyAnnotations(meta.annot_path("train"))
+    train_sampler = PolydetSampler(cfg, meta, train_ann, split="train",
+                                  img_dir=meta.img_dir("train"))
+    train_loader = Loader(train_sampler, len(train_sampler),
+                          cfg.batch_size, shuffle=True)
+
+    val_loader = None
+    try:
+        val_ann = CocoPolyAnnotations(meta.annot_path("val"))
+        val_sampler = PolydetSampler(cfg, meta, val_ann, split="val",
+                                    img_dir=meta.img_dir("val"))
+        val_loader = Loader(val_sampler, len(val_sampler),
+                            cfg.batch_size, shuffle=False, drop_last=False)
+    except FileNotFoundError:
+        pass
+
+    save_dir = os.path.join(cfg.save_dir, cfg.dataset, cfg.task, cfg.exp_id)
+    os.makedirs(save_dir, exist_ok=True)
+    logger = Logger(save_dir, cfg.to_json())
+
+    trainer = Trainer(cfg, train_loader, val_loader, meta, logger)
+    trainer.fit(save_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from .factory import create_model, MODEL_REGISTRY
+
+__all__ = ["create_model", "MODEL_REGISTRY"]

@@ -1,0 +1,149 @@
+"""Modulated deformable convolution (DCNv2) for TPU.
+
+The reference consumes an external CUDA extension
+(reference: src/lib/models/networks/pose_dla_dcn.py:16,354 —
+`DCN(chi, cho, kernel_size=(3,3), stride=1, padding=1, dilation=1,
+deformable_groups=1)`).  Here the op is built from TPU-friendly pieces:
+
+  1. an ordinary 3x3 conv produces 27 channels: 18 offsets (dy, dx per tap)
+     and 9 modulation masks (sigmoid);
+  2. each of the 9 taps is sampled from the input at its deformed location
+     with bilinear interpolation (one fused gather per tap);
+  3. the modulated samples contract against the 3x3 weights as a single
+     (B*H*W, 9*Cin) x (9*Cin, Cout) matmul — MXU-shaped.
+
+A Pallas kernel (kernels/dcn_pallas.py) accelerates step 2+3 when enabled;
+this XLA path is the correctness oracle and the autodiff path.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import BN_MOMENTUM
+
+
+def bilinear_sample_nhwc(img: jnp.ndarray, y: jnp.ndarray,
+                         x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample an NHWC image at float coords.
+
+    img: (H, W, C); y, x: (...,) float coordinates.  Out-of-range samples
+    are zero (matching DCNv2's zero padding semantics).
+    Returns (..., C).
+    """
+    h, w = img.shape[0], img.shape[1]
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    fy = y - y0
+    fx = x - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def tap(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        v = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+        return jnp.where(valid[..., None], v, 0.0)
+
+    v00 = tap(y0i, x0i)
+    v01 = tap(y0i, x0i + 1)
+    v10 = tap(y0i + 1, x0i)
+    v11 = tap(y0i + 1, x0i + 1)
+    fy = fy[..., None]
+    fx = fx[..., None]
+    return (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
+            + v10 * fy * (1 - fx) + v11 * fy * fx)
+
+
+def deform_conv2d(
+    x: jnp.ndarray,
+    offsets: jnp.ndarray,
+    masks: jnp.ndarray,
+    weights: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Core modulated deformable 3x3 conv (stride 1, SAME padding).
+
+    Args:
+      x: (B, H, W, Cin) input.
+      offsets: (B, H, W, 18) — (dy, dx) per tap, tap-major ordering
+        [dy0, dx0, dy1, dx1, ...] over the 3x3 grid (row-major taps).
+      masks: (B, H, W, 9) — modulation scalars (already sigmoided).
+      weights: (3, 3, Cin, Cout).
+      bias: (Cout,) or None.
+    """
+    b, h, w, cin = x.shape
+    cout = weights.shape[-1]
+
+    gy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    gx = jnp.arange(w, dtype=jnp.float32)[None, :]
+
+    # tap grid offsets (ky, kx) in {-1, 0, 1}
+    ky = jnp.repeat(jnp.arange(-1, 2, dtype=jnp.float32), 3)  # (9,)
+    kx = jnp.tile(jnp.arange(-1, 2, dtype=jnp.float32), 3)    # (9,)
+
+    off = offsets.reshape(b, h, w, 9, 2)
+    sy = gy[None, :, :, None] + ky[None, None, None, :] + off[..., 0]
+    sx = gx[None, :, :, None] + kx[None, None, None, :] + off[..., 1]
+
+    # (B, H, W, 9, Cin)
+    sampled = jax.vmap(bilinear_sample_nhwc)(x, sy, sx)
+    sampled = sampled * masks[..., None]
+
+    # Single MXU contraction: (B,H,W,9*Cin) @ (9*Cin,Cout)
+    out = jnp.einsum(
+        "bhwkc,kco->bhwo",
+        sampled,
+        weights.reshape(9, cin, cout),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
+class DCNv2(nn.Module):
+    """DCNv2 layer: offset/mask conv + deformable sampling + contraction.
+
+    Matches the reference call signature semantics: 3x3, stride 1,
+    dilation 1, one deformable group.  The offset conv is zero-initialized
+    (standard DCNv2 init: starts as a plain conv)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        # 27 = 18 offsets + 9 masks
+        om = nn.Conv(
+            27, (3, 3), padding="SAME",
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="conv_offset_mask",
+        )(x)
+        offsets = om[..., :18]
+        masks = jax.nn.sigmoid(om[..., 18:])
+        weights = self.param(
+            "kernel",
+            nn.initializers.he_normal(),
+            (3, 3, cin, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return deform_conv2d(x, offsets, masks, weights.astype(x.dtype),
+                             bias.astype(x.dtype))
+
+
+class DeformConvBlock(nn.Module):
+    """DCNv2 -> BN -> ReLU (ref pose_dla_dcn.py:347-359 DeformConv)."""
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = DCNv2(self.features, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         momentum=BN_MOMENTUM, dtype=self.dtype)(x)
+        return nn.relu(x)

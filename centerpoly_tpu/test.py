@@ -1,0 +1,58 @@
+"""Batch evaluation entry: `python -m centerpoly_tpu.test polydet ...`
+(reference surface: src/test.py — prefetch_test).
+
+Runs the detector over a dataset split, accumulates per-stage timing
+averages, and invokes the dataset's instance-AP eval.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    from .configs import Config
+    from .data import CocoPolyAnnotations, PolydetSampler, DATASETS
+    from .infer.detector import PolydetDetector
+    from .utils.timers import AverageMeter
+
+    cfg = Config.from_args(argv)
+    meta_cls = DATASETS.get(cfg.dataset)
+    if meta_cls is None:
+        raise SystemExit(f"dataset '{cfg.dataset}' has no adapter")
+    meta = meta_cls(cfg.data_dir, cfg.nbr_points)
+
+    split = "val"
+    ann = CocoPolyAnnotations(meta.annot_path(split))
+    sampler = PolydetSampler(cfg, meta, ann, split=split,
+                             img_dir=meta.img_dir(split))
+    detector = PolydetDetector(cfg)
+
+    results = {}
+    avg = {s: AverageMeter() for s in
+           ("tot", "load", "pre", "net", "dec", "post", "merge")}
+    for idx in range(len(sampler)):
+        img_id = sampler.images[idx]
+        img = sampler._load_image(img_id)
+        ret = detector.run(img)
+        results[img_id] = ret["results"]
+        for s in avg:
+            avg[s].update(ret[s])
+        if idx % 50 == 0:
+            line = "|".join(f"{s} {avg[s].avg:.3f}s" for s in avg)
+            print(f"[{idx}/{len(sampler)}] {line}")
+
+    save_dir = os.path.join(cfg.save_dir, cfg.dataset, cfg.task, cfg.exp_id)
+    os.makedirs(save_dir, exist_ok=True)
+    ap = meta.run_eval(results, save_dir)
+    if ap is not None:
+        print("instance AP:", ap.get("allAp"), "AP50:", ap.get("allAp50%"))
+    else:
+        print("results written to", save_dir,
+              "(no GT instance images available for AP)")
+
+
+if __name__ == "__main__":
+    main()

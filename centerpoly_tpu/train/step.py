@@ -1,0 +1,73 @@
+"""jitted train / eval steps with GSPMD data parallelism.
+
+One step == reference base_trainer.run_epoch body (base_trainer.py:64-134):
+forward, loss, backward, Adam update — but fused into a single compiled
+program.  Sharding: batch on the 'data' mesh axis, params replicated; the
+compiler inserts the gradient psum over ICI (SURVEY.md §2.7).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..losses import polydet_loss, PolydetLossConfig
+
+
+def make_train_step(loss_cfg: PolydetLossConfig,
+                    mesh: Mesh | None = None) -> Callable:
+    """Returns train_step(state, batch) -> (state, stats)."""
+
+    def loss_fn(params, batch_stats, apply_fn, batch):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        outs, mutated = apply_fn(
+            variables, batch["input"], train=True,
+            mutable=["batch_stats"] if batch_stats else [],
+        )
+        loss, stats = polydet_loss(outs, batch, loss_cfg)
+        new_stats = mutated.get("batch_stats", batch_stats) if batch_stats \
+            else batch_stats
+        return loss, (stats, new_stats)
+
+    def train_step(state, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (stats, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, state.apply_fn, batch)
+        state = state.apply_gradients(grads)
+        state = state.replace(batch_stats=new_bs)
+        return state, stats
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        donate_argnums=(0,),
+        in_shardings=(None, batch_sharded),
+        out_shardings=(None, replicated),
+    )
+
+
+def make_eval_step(loss_cfg: PolydetLossConfig,
+                   mesh: Mesh | None = None) -> Callable:
+    """eval_step(state, batch) -> (outs, stats): forward + loss only."""
+
+    def eval_step(state, batch):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        outs = state.apply_fn(variables, batch["input"], train=False)
+        loss, stats = polydet_loss(outs, batch, loss_cfg)
+        return outs[-1], stats
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    batch_sharded = NamedSharding(mesh, P("data"))
+    return jax.jit(eval_step, in_shardings=(None, batch_sharded))

@@ -1,0 +1,178 @@
+import json
+import os
+
+import numpy as np
+import pytest
+
+from centerpoly_tpu.configs import Config
+from centerpoly_tpu.data import (
+    CocoPolyAnnotations, PolydetSampler, CityscapesMeta, Loader)
+from centerpoly_tpu.data.sampler import flip_vertex_permutation
+from centerpoly_tpu.data.loader import stack_batch
+
+REF_JSON = "/root/reference/cityscapesStuff/BBoxes/val8_regular_interval.json"
+
+
+def synthetic_coco(tmp_path, n_images=2, n_objs=3, n_points=16):
+    """Tiny COCO-poly fixture with deterministic polygons."""
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    ann_id = 0
+    for i in range(n_images):
+        images.append({"id": i, "file_name": f"img_{i}.png",
+                       "height": 128, "width": 256})
+        for k in range(n_objs):
+            cx = rng.randint(40, 216)
+            cy = rng.randint(30, 98)
+            rad = rng.randint(8, 20)
+            ang = np.sort(rng.rand(n_points) * 2 * np.pi)
+            xs = cx + rad * np.cos(ang)
+            ys = cy + rad * np.sin(ang)
+            poly = np.stack([xs, ys], -1).reshape(-1).tolist()
+            annotations.append({
+                "id": ann_id, "image_id": i, "category_id": 3,
+                "bbox": [float(xs.min()), float(ys.min()),
+                         float(xs.max() - xs.min()),
+                         float(ys.max() - ys.min())],
+                "poly": poly, "pseudo_depth": k,
+                "area": float(rad * rad * 3.14),
+            })
+            ann_id += 1
+    data = {"images": images, "annotations": annotations,
+            "categories": [{"id": c, "name": n} for c, n in
+                           enumerate(CityscapesMeta.class_name[1:9], 1)]}
+    path = os.path.join(tmp_path, "ann.json")
+    with open(path, "w") as f:
+        json.dump(data, f)
+    return path
+
+
+class TestCocoReader:
+    def test_reads_reference_gt(self):
+        if not os.path.exists(REF_JSON):
+            pytest.skip("reference GT not mounted")
+        coco = CocoPolyAnnotations(REF_JSON)
+        ids = coco.get_img_ids()
+        assert len(ids) > 0
+        anns = coco.load_anns(ids[0])
+        assert len(anns) >= 0
+        # find an image with annotations and check the poly contract
+        for i in ids:
+            anns = coco.load_anns(i)
+            if anns:
+                a = anns[0]
+                assert "poly" in a and "pseudo_depth" in a
+                assert len(a["poly"]) == 16  # val8 -> 8 vertices
+                break
+
+    def test_synthetic(self, tmp_path):
+        path = synthetic_coco(tmp_path)
+        coco = CocoPolyAnnotations(path)
+        assert len(coco) == 2
+        assert len(coco.load_anns(0)) == 3
+
+
+class TestFlipPermutation:
+    def test_is_permutation(self):
+        for n2 in (16, 32, 64):
+            perm = flip_vertex_permutation(n2)
+            assert sorted(perm.tolist()) == list(range(n2))
+
+    def test_matches_reference_loops(self):
+        """Cross-check against the reference's in-place loops
+        (sample/polydet.py:177-186) run symbolically."""
+        for n2 in (16, 32):
+            nf = list(range(n2))          # identity "not_flipped" values
+            pts = list(range(n2))
+            first_angle = n2 // 4
+            for i in range(0, n2 // 4 + 2, 2):
+                pts[i] = nf[first_angle - i]
+                pts[i + 1] = nf[first_angle - i + 1]
+            for i in range(2, 3 * n2 // 4, 2):
+                pts[first_angle + i] = nf[n2 - i]
+                pts[first_angle + i + 1] = nf[n2 - i + 1]
+            perm = flip_vertex_permutation(n2)
+            assert pts == perm.tolist()
+
+
+class TestSampler:
+    def _sampler(self, tmp_path, split="train", rep="cartesian"):
+        path = synthetic_coco(tmp_path)
+        cfg = Config(task="polydet", dataset="cityscapes", rep=rep,
+                     input_h=128, input_w=256)
+        coco = CocoPolyAnnotations(path)
+        return PolydetSampler(cfg, CityscapesMeta(), coco, split=split), cfg
+
+    def test_output_contract(self, tmp_path):
+        sampler, cfg = self._sampler(tmp_path)
+        s = sampler(0)
+        assert s["input"].shape == (128, 256, 3)
+        assert s["hm"].shape == (32, 64, 8)
+        assert s["poly"].shape == (128, 32)
+        assert s["pseudo_depth"].shape == (128, 1)
+        assert s["ind"].shape == (128,)
+        assert s["reg"].shape == (128, 2)
+        assert s["reg_mask"].sum() > 0
+        assert s["hm"].max() == pytest.approx(1.0)
+
+    def test_val_no_aug_and_meta(self, tmp_path):
+        sampler, cfg = self._sampler(tmp_path, split="val")
+        s1 = sampler(0)
+        s2 = sampler(0)
+        np.testing.assert_allclose(s1["input"], s2["input"])
+        assert "meta" in s1
+        assert s1["meta"]["img_id"] == 0
+
+    def test_polygon_targets_reconstruct(self, tmp_path):
+        """cartesian poly offsets + peak must reconstruct the warped verts."""
+        sampler, cfg = self._sampler(tmp_path, split="val")
+        s = sampler(0)
+        k = int(np.argmax(s["reg_mask"]))
+        ct = s["peak"][k]
+        verts = s["poly"][k].reshape(-1, 2) + ct
+        # all vertices inside output grid
+        assert verts[:, 0].min() >= 0 and verts[:, 0].max() < 64
+        assert verts[:, 1].min() >= 0 and verts[:, 1].max() < 32
+        # ind encodes the int center
+        assert s["ind"][k] == int(ct[1]) * 64 + int(ct[0])
+        np.testing.assert_allclose(s["reg"][k], ct - ct.astype(np.int32),
+                                   atol=1e-6)
+
+    def test_polar_targets(self, tmp_path):
+        sampler, cfg = self._sampler(tmp_path, split="val", rep="polar")
+        s = sampler(0)
+        k = int(np.argmax(s["reg_mask"]))
+        r = s["poly"][k, 0::2]
+        theta = s["poly"][k, 1::2]
+        assert np.all(r >= 0)
+        assert np.all((theta >= 0) & (theta < 2 * np.pi + 1e-6))
+
+    def test_train_aug_changes_sample(self, tmp_path):
+        sampler, cfg = self._sampler(tmp_path, split="train")
+        a = sampler(0)["input"]
+        b = sampler(0)["input"]
+        assert not np.allclose(a, b)
+
+
+class TestLoader:
+    def test_batching(self, tmp_path):
+        sampler, cfg = self._make(tmp_path)
+        loader = Loader(sampler, len(sampler), batch_size=2)
+        batches = list(loader)
+        assert len(batches) == 1
+        assert batches[0]["input"].shape == (2, 128, 256, 3)
+        assert batches[0]["hm"].shape == (2, 32, 64, 8)
+
+    def _make(self, tmp_path):
+        path = synthetic_coco(tmp_path)
+        cfg = Config(task="polydet", dataset="cityscapes",
+                     input_h=128, input_w=256)
+        coco = CocoPolyAnnotations(path)
+        return PolydetSampler(cfg, CityscapesMeta(), coco), cfg
+
+    def test_stack_batch(self):
+        samples = [{"a": np.ones((2, 2)), "meta": {"x": 1}},
+                   {"a": np.zeros((2, 2)), "meta": {"x": 2}}]
+        out = stack_batch(samples)
+        assert out["a"].shape == (2, 2, 2)
+        assert isinstance(out["meta"], list)
