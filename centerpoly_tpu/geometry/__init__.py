@@ -3,6 +3,7 @@ from .affine import (
     affine_transform_points,
     transform_preds,
     warp_affine,
+    warp_axis_aligned,
 )
 from .gaussian import (
     gaussian_radius,
@@ -25,6 +26,7 @@ __all__ = [
     "affine_transform_points",
     "transform_preds",
     "warp_affine",
+    "warp_axis_aligned",
     "gaussian_radius",
     "splat_gaussian",
     "splat_ellipse_gaussian",

@@ -109,6 +109,10 @@ def warp_affine(image: jax.Array, trans, out_hw, fill: float = 0.0) -> jax.Array
     `trans` is the forward 2x3 matrix (source -> output). Sampling inverts it
     on the fly so semantics match cv2.warpAffine(..., INTER_LINEAR) with
     constant border `fill`.  jit-friendly: out_hw must be static.
+
+    TPU note: per-pixel 2-D gathers are slow on TPU; use
+    `warp_axis_aligned` (matmul-based) when the affine has no
+    rotation/shear — which is every inference-path transform (rot=0).
     """
     trans = jnp.asarray(trans, dtype=jnp.float32)
     # Invert [A | t]: x_src = A^-1 (x_dst - t)
@@ -150,4 +154,42 @@ def warp_affine(image: jax.Array, trans, out_hw, fill: float = 0.0) -> jax.Array
         + v10 * (1 - fx) * fy
         + v11 * fx * fy
     )
+    return out.astype(image.dtype)
+
+
+def _sampling_matrix(out_size: int, in_size: int, scale, shift):
+    """(out, in) bilinear sampling matrix for in = (out - shift) / scale.
+
+    Rows sample with tent weights; out-of-range taps contribute zero
+    (constant-border fill 0, like cv2.warpAffine) — no renormalization.
+    """
+    o = jnp.arange(out_size, dtype=jnp.float32)
+    src = (o - shift) / scale                           # (out,)
+    i = jnp.arange(in_size, dtype=jnp.float32)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - i[None, :]))
+    return w
+
+
+def warp_axis_aligned(image: jax.Array, trans, out_hw) -> jax.Array:
+    """Axis-aligned (no rotation/shear) affine warp as two MXU matmuls.
+
+    Equivalent to `warp_affine` for trans = [[ax, 0, tx], [0, ay, ty]]:
+    out = W_y @ image @ W_x^T with explicit bilinear sampling matrices —
+    the fast TPU form (per-pixel gathers are slow; dense sampling matmuls
+    are not).
+    """
+    trans = jnp.asarray(trans, dtype=jnp.float32)
+    out_h, out_w = out_hw
+    in_h, in_w, c = image.shape
+    wy = _sampling_matrix(out_h, in_h, trans[1, 1], trans[1, 2])
+    wx = _sampling_matrix(out_w, in_w, trans[0, 0], trans[0, 2])
+    img = image.astype(jnp.float32)
+    # highest precision: default TPU f32 dots run bf16 passes, which would
+    # quantize pixel values by ~0.4%
+    out = jnp.einsum("yi,iwc->ywc", wy, img,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("xj,yjc->yxc", wx, out,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return out.astype(image.dtype)

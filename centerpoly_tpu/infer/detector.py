@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import Config
-from ..geometry.affine import get_affine_transform, warp_affine
+from ..geometry.affine import get_affine_transform, warp_axis_aligned
 from ..models import create_model
 from ..ops.decode import polydet_decode
 from ..ops.nms import soft_nms
@@ -82,6 +82,9 @@ class PolydetDetector:
         self.num_classes = cfg.num_classes
         self.max_per_image = cfg.K
         self.scales = cfg.test_scales
+        # NOTE: variables are passed as jit *arguments*, never closed over:
+        # XLA:TPU rewrites dot/einsum ops with large constant operands into
+        # a pathological convolution form (~200x slower DCN contraction).
         self._pre_jit = jax.jit(self._pre_device)
         self._proc_jit = jax.jit(self._process_device)
 
@@ -91,13 +94,14 @@ class PolydetDetector:
         """uint8 HWC source image -> normalized (1, in_h, in_w, 3)."""
         cfg = self.cfg
         img = image_u8.astype(jnp.float32)
-        warped = warp_affine(img, trans, (cfg.input_h, cfg.input_w))
+        # inference transforms are rot=0 -> axis-aligned matmul warp
+        warped = warp_axis_aligned(img, trans, (cfg.input_h, cfg.input_w))
         out = (warped / 255.0 - self.mean) / self.std
         return out[None]
 
-    def _process_device(self, images):
+    def _process_device(self, variables, images):
         cfg = self.cfg
-        outs = self.model.apply(self.variables, images, train=False)
+        outs = self.model.apply(variables, images, train=False)
         out = outs[-1]
         hm = jax.nn.sigmoid(out["hm"].astype(jnp.float32))
         reg = out["reg"].astype(jnp.float32) if cfg.reg_offset else None
@@ -143,11 +147,28 @@ class PolydetDetector:
         for scale in self.scales:
             h, w = image.shape[:2]
             trans, meta = self.pre_process_meta(h, w, scale)
-            img_dev = jnp.asarray(image)
+            # Shrink on host before crossing the host->device link: when the
+            # warp downsamples (f < 1), a cv2 resize first cuts transferred
+            # bytes by 1/f^2 and the device warp becomes ~identity-scale.
+            send = image
+            f = float(np.sqrt(np.abs(
+                trans[0, 0] * trans[1, 1] - trans[0, 1] * trans[1, 0])))
+            if f < 0.9:
+                try:
+                    import cv2
+                    new_w = max(1, int(round(w * f)))
+                    new_h = max(1, int(round(h * f)))
+                    send = cv2.resize(image, (new_w, new_h),
+                                      interpolation=cv2.INTER_LINEAR)
+                    trans = trans.copy()
+                    trans[:, :2] = trans[:, :2] * (w / new_w, h / new_h)
+                except ImportError:
+                    pass
+            img_dev = jnp.asarray(send)
             images = self._pre_jit(img_dev, jnp.asarray(trans))
             timer.stage("pre", fence=images)
 
-            out, dets = self._proc_jit(images)
+            out, dets = self._proc_jit(self.variables, images)
             timer.stage("net", fence=out["hm"])
             dets_host = np.asarray(dets)
             timer.stage("dec")

@@ -73,6 +73,11 @@ def deform_conv2d(
       masks: (B, H, W, 9) — modulation scalars (already sigmoided).
       weights: (3, 3, Cin, Cout).
       bias: (Cout,) or None.
+
+    TPU note: the 4 corner samples are flat row-gathers over (B*H*W, Cin)
+    with a 1-D index — this hits XLA:TPU's fast bitpacked-gather path.  A
+    vmap-over-batch formulation (3-deep gather indices) is ~100x slower on
+    the same hardware; do not "simplify" this back.
     """
     b, h, w, cin = x.shape
     cout = weights.shape[-1]
@@ -84,12 +89,32 @@ def deform_conv2d(
     ky = jnp.repeat(jnp.arange(-1, 2, dtype=jnp.float32), 3)  # (9,)
     kx = jnp.tile(jnp.arange(-1, 2, dtype=jnp.float32), 3)    # (9,)
 
-    off = offsets.reshape(b, h, w, 9, 2)
+    off = offsets.reshape(b, h, w, 9, 2).astype(jnp.float32)
     sy = gy[None, :, :, None] + ky[None, None, None, :] + off[..., 0]
     sx = gx[None, :, :, None] + kx[None, None, None, :] + off[..., 1]
 
-    # (B, H, W, 9, Cin)
-    sampled = jax.vmap(bilinear_sample_nhwc)(x, sy, sx)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    fy = (sy - y0)[..., None].astype(x.dtype)
+    fx = (sx - x0)[..., None].astype(x.dtype)
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None, None, None] * (h * w)
+    xf = x.reshape(b * h * w, cin)
+
+    def tap(yi, xi):
+        inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        idx = bidx + jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+        v = jnp.take(xf, idx, axis=0)
+        return jnp.where(inb[..., None], v, 0)
+
+    sampled = (
+        tap(y0, x0) * (1 - fy) * (1 - fx)
+        + tap(y0, x0 + 1) * (1 - fy) * fx
+        + tap(y0 + 1, x0) * fy * (1 - fx)
+        + tap(y0 + 1, x0 + 1) * fy * fx
+    )
     sampled = sampled * masks[..., None]
 
     # Single MXU contraction: (B,H,W,9*Cin) @ (9*Cin,Cout)
