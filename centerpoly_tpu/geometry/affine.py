@@ -123,9 +123,12 @@ def warp_affine(image: jax.Array, trans, out_hw, fill: float = 0.0) -> jax.Array
     ys = jnp.arange(out_h, dtype=jnp.float32)
     xs = jnp.arange(out_w, dtype=jnp.float32)
     gx, gy = jnp.meshgrid(xs, ys)  # (H, W)
-    dst = jnp.stack([gx - t[0], gy - t[1]], axis=-1)  # (H, W, 2)
-    src = dst @ inv_a.T  # (H, W, 2): (x, y) source coords
-    sx, sy = src[..., 0], src[..., 1]
+    dx = gx - t[0]
+    dy = gy - t[1]
+    # elementwise multiply-add, NOT a matmul: default matmul precision is
+    # bf16 on TPU, which quantizes pixel coordinates by ~0.1 px
+    sx = dx * inv_a[0, 0] + dy * inv_a[0, 1]
+    sy = dx * inv_a[1, 0] + dy * inv_a[1, 1]
 
     h, w = image.shape[0], image.shape[1]
     x0 = jnp.floor(sx)

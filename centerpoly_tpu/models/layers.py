@@ -30,12 +30,17 @@ class ConvBN(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         use_bias = (not self.use_bn) if self.use_bias is None else self.use_bias
+        # torch-style symmetric padding (pad = dilation * (k-1)//2), NOT
+        # "SAME": for stride>1 SAME pads asymmetrically (lo=0) which shifts
+        # the sample grid one pixel vs the reference and breaks checkpoint
+        # import parity.
+        pad = self.dilation * (self.kernel // 2)
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             kernel_dilation=(self.dilation, self.dilation),
-            padding="SAME",
+            padding=((pad, pad), (pad, pad)),
             use_bias=use_bias,
             dtype=self.dtype,
         )(x)
