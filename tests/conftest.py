@@ -15,6 +15,7 @@ if os.environ.get("PALLAS_AXON_POOL_IPS") and \
         not os.environ.get("_CENTERPOLY_TEST_REEXEC"):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"  # outer env says "axon"
     env["_CENTERPOLY_TEST_REEXEC"] = "1"
     argv0 = sys.argv[0]
     if os.path.basename(argv0).startswith("pytest") and \
@@ -24,7 +25,9 @@ if os.environ.get("PALLAS_AXON_POOL_IPS") and \
         os.execve(sys.executable,
                   [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force cpu: the outer env sets JAX_PLATFORMS=axon, which is only
+# registered when PALLAS_AXON_POOL_IPS is present (we just removed it)
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
