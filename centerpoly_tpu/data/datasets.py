@@ -69,7 +69,9 @@ class CityscapesMeta(DatasetMeta):
             base, f"{split}{self.nbr_points}_regular_interval.json")
 
     def img_dir(self, split: str):
-        d = os.path.join(self.data_root, "coco", f"{split}2017")
+        # real Cityscapes layout; annotation file_names are usually absolute
+        # (CSV-generated) so this is only the relative-path fallback
+        d = os.path.join(self.data_root, "leftImg8bit", split)
         return d if os.path.isdir(d) else None
 
 

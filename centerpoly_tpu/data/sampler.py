@@ -100,9 +100,12 @@ class PolydetSampler:
 
     def _load_image(self, img_id: int) -> np.ndarray:
         info = self.coco.load_img(img_id)
-        if self.img_dir is not None:
+        # CSV-generated GT carries absolute file_name paths (tools/csv_coco,
+        # ref convert_csv_to_coco.py) — os.path.join with an absolute second
+        # arg resolves to it regardless of img_dir, matching the reference.
+        path = os.path.join(self.img_dir or "", info["file_name"])
+        if os.path.isfile(path):
             import cv2
-            path = os.path.join(self.img_dir, info["file_name"])
             img = cv2.imread(path)
             if img is not None:
                 return img
@@ -128,7 +131,7 @@ class PolydetSampler:
         flipped = False
         if self.split == "train":
             if not cfg.not_rand_crop:
-                s = s * np.random.choice(np.arange(0.6, 1.4, 0.1))
+                s = s * rng.choice(np.arange(0.6, 1.4, 0.1))
                 w_border = _get_border(128, width)
                 h_border = _get_border(128, height)
                 c[0] = rng.randint(low=w_border, high=width - w_border)
