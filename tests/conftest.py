@@ -3,31 +3,18 @@
 All tests run on CPU (fast, deterministic); multi-device tests shard over the
 8 virtual devices. Real-TPU behavior is covered by bench.py / __graft_entry__.
 
-The axon sitecustomize force-registers the TPU backend in every python
-process when PALLAS_AXON_POOL_IPS is set (overriding JAX_PLATFORMS), so if
-that var is present we re-exec pytest once with it removed — otherwise the
-"8-device" tests silently degrade to the single real TPU chip.
+The axon sitecustomize registers the remote-TPU backend in every python
+process when PALLAS_AXON_POOL_IPS is set, and the outer env selects it via
+JAX_PLATFORMS=axon. jax is therefore already imported by the time this
+conftest runs, so plain os.environ edits to JAX_PLATFORMS are too late —
+but jax.config.update("jax_platforms") is not, and XLA_FLAGS is read when
+the CPU client is first created (no backend exists yet here). This keeps
+everything in-process: an os.execve re-exec (the previous approach) loses
+pytest's original stdout fd to the capture plugin's temp file, silently
+swallowing the entire report when output is piped.
 """
 import os
-import sys
 
-if os.environ.get("PALLAS_AXON_POOL_IPS") and \
-        not os.environ.get("_CENTERPOLY_TEST_REEXEC"):
-    env = dict(os.environ)
-    env.pop("PALLAS_AXON_POOL_IPS", None)
-    env["JAX_PLATFORMS"] = "cpu"  # outer env says "axon"
-    env["_CENTERPOLY_TEST_REEXEC"] = "1"
-    argv0 = sys.argv[0]
-    if os.path.basename(argv0).startswith("pytest") and \
-            os.access(argv0, os.X_OK):
-        os.execve(argv0, sys.argv, env)
-    else:
-        os.execve(sys.executable,
-                  [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
-
-# force cpu: the outer env sets JAX_PLATFORMS=axon, which is only
-# registered when PALLAS_AXON_POOL_IPS is present (we just removed it)
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -39,3 +26,9 @@ _cache = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), ".jax_cache")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ["JAX_PLATFORMS"] = "cpu"  # for subprocesses spawned by tests
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
