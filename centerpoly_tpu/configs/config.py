@@ -110,6 +110,10 @@ class Config:
 
     # loss
     mse_loss: bool = False
+    reg_loss: str = "l1"           # l1 | sl1 (ctdet/ddd wh regression)
+    dense_wh: bool = False
+    norm_wh: bool = False
+    hm_gauss: int = 3              # fixed sigma when mse_loss
     poly_loss: str = "l1"          # l1 | iou | l1+iou | relu
     poly_order: bool = False
     elliptical_gt: bool = True     # paper runs use it
@@ -118,6 +122,19 @@ class Config:
     poly_weight: float = 1.0
     depth_weight: float = 0.1
     wh_weight: float = 0.1
+    # ddd loss weights / flags (ref opts.py ddd section)
+    dep_weight: float = 1.0
+    dim_weight: float = 1.0
+    rot_weight: float = 1.0
+    reg_bbox: bool = True
+    # multi_pose loss weights / flags
+    hp_weight: float = 1.0
+    hm_hp_weight: float = 1.0
+    dense_hp: bool = False
+    hm_hp: bool = True
+    reg_hp_offset: bool = True
+    # exdet
+    agnostic_ex: bool = False
 
     # augmentation
     not_rand_crop: bool = False
@@ -126,6 +143,9 @@ class Config:
     flip: float = 0.5
     no_reorder_flip: bool = False
     no_color_aug: bool = False
+    aug_rot: float = 0.0           # multi_pose rotation aug probability
+    rotate: float = 0.0            # multi_pose max rotation (degrees)
+    aug_ddd: float = 0.5           # ddd scale/shift aug probability
 
     # test
     test_scales: Tuple[float, ...] = (1.0,)

@@ -64,6 +64,69 @@ def splat_gaussian(heatmap: np.ndarray, center, radius: int, k: float = 1.0):
     return heatmap
 
 
+def splat_msra_gaussian(heatmap: np.ndarray, center, sigma: float):
+    """Max-merge a fixed-sigma gaussian, MSRA pose style (ref image.py:208-228).
+
+    Used by ctdet when --mse_loss (hm_gauss sigma)."""
+    tmp_size = int(sigma * 3)
+    mu_x = int(center[0] + 0.5)
+    mu_y = int(center[1] + 0.5)
+    h, w = heatmap.shape[:2]
+    ul = [mu_x - tmp_size, mu_y - tmp_size]
+    br = [mu_x + tmp_size + 1, mu_y + tmp_size + 1]
+    if ul[0] >= w or ul[1] >= h or br[0] < 0 or br[1] < 0:
+        return heatmap
+    size = 2 * tmp_size + 1
+    x = np.arange(0, size, 1, np.float32)
+    y = x[:, np.newaxis]
+    x0 = y0 = size // 2
+    g = np.exp(-((x - x0) ** 2 + (y - y0) ** 2) / (2 * sigma ** 2))
+    g_x = max(0, -ul[0]), min(br[0], w) - ul[0]
+    g_y = max(0, -ul[1]), min(br[1], h) - ul[1]
+    img_x = max(0, ul[0]), min(br[0], w)
+    img_y = max(0, ul[1]), min(br[1], h)
+    heatmap[img_y[0]:img_y[1], img_x[0]:img_x[1]] = np.maximum(
+        heatmap[img_y[0]:img_y[1], img_x[0]:img_x[1]],
+        g[g_y[0]:g_y[1], g_x[0]:g_x[1]])
+    return heatmap
+
+
+def draw_dense_reg(regmap: np.ndarray, heatmap: np.ndarray, center, value,
+                   radius: int, is_offset: bool = False):
+    """Splat a regression value into a dense HWD map where this object's
+    gaussian dominates the current heatmap max (ref image.py:176-205,
+    channel-last here).
+
+    regmap (H, W, D); heatmap (H, W) current class-max; value (D,)."""
+    diameter = 2 * radius + 1
+    gaussian = _gaussian2d((diameter, diameter), sigma=diameter / 6)
+    value = np.array(value, np.float32).reshape(1, 1, -1)
+    dim = value.shape[-1]
+    reg = np.ones((diameter * 2 + 1, diameter * 2 + 1, dim),
+                  np.float32) * value
+    if is_offset and dim == 2:
+        delta = np.arange(diameter * 2 + 1) - radius
+        reg[:, :, 0] -= delta.reshape(1, -1)
+        reg[:, :, 1] -= delta.reshape(-1, 1)
+
+    x, y = int(center[0]), int(center[1])
+    height, width = heatmap.shape[:2]
+    left, right = min(x, radius), min(width - x, radius + 1)
+    top, bottom = min(y, radius), min(height - y, radius + 1)
+
+    masked_heatmap = heatmap[y - top:y + bottom, x - left:x + right]
+    masked_regmap = regmap[y - top:y + bottom, x - left:x + right]
+    masked_gaussian = gaussian[radius - top:radius + bottom,
+                               radius - left:radius + right]
+    masked_reg = reg[radius - top:radius + bottom,
+                     radius - left:radius + right]
+    if min(masked_gaussian.shape) > 0 and min(masked_heatmap.shape) > 0:
+        idx = (masked_gaussian >= masked_heatmap)[..., None]
+        masked_regmap = (~idx) * masked_regmap + idx * masked_reg
+    regmap[y - top:y + bottom, x - left:x + right] = masked_regmap
+    return regmap
+
+
 def _gaussian_ellipse2d(shape, sigma: float) -> np.ndarray:
     """Elliptical gaussian patch; formula matches ref image.py:144-156.
 

@@ -1,3 +1,13 @@
-from .detector import PolydetDetector, polydet_post_process
+from .detector import (
+    BaseDetector, PolydetDetector, CtdetDetector, DETECTORS,
+    create_detector, polydet_post_process, ctdet_post_process)
 
-__all__ = ["PolydetDetector", "polydet_post_process"]
+__all__ = [
+    "BaseDetector",
+    "PolydetDetector",
+    "CtdetDetector",
+    "DETECTORS",
+    "create_detector",
+    "polydet_post_process",
+    "ctdet_post_process",
+]

@@ -40,7 +40,7 @@ def draw_overlay(image: np.ndarray, results, vis_thresh: float = 0.3):
 
 def main(argv=None):
     from ..configs import Config
-    from .detector import PolydetDetector
+    from .detector import create_detector
 
     argv = list(sys.argv[1:] if argv is None else argv)
     save_overlay = "--save_overlay" in argv
@@ -53,13 +53,8 @@ def main(argv=None):
         del argv[i:i + 2]
     cfg = Config.from_args(argv)
 
-    detector = PolydetDetector(cfg)
-    if cfg.load_model:
-        from ..train.checkpoint import load_torch_pth
-        # torch checkpoints can be imported via train.checkpoint utilities;
-        # orbax checkpoints restore into detector.variables
-        print(f"note: loading {cfg.load_model} not wired for raw demo; "
-              "using initialized weights")
+    # --load_model (orbax dir or reference .pth) loads in the constructor
+    detector = create_detector(cfg)
 
     if demo_path is None:
         raise SystemExit("--demo <image-or-folder> is required")

@@ -1,22 +1,23 @@
 """Inference detector API.
 
-Behavioral reference: src/lib/detectors/base_detector.py:18-191 and
-detectors/polydet.py:21-101.  Same contract: `run(image)` returns
-{'results': {class_id: (n, 5 + 2N + 1) arrays}, 'tot'/'load'/'pre'/'net'/
-'dec'/'post'/'merge': seconds}, where each detection row is
-[x0, y0, x1, y1, score, poly..., depth] in source-image coordinates.
+Behavioral reference: src/lib/detectors/base_detector.py:18-191 plus the
+task detectors (detectors/polydet.py:21-101, detectors/ctdet.py:24-101).
+Same contract: `run(image)` returns {'results': {class_id: (n, D) arrays},
+'tot'/'load'/'pre'/'net'/'dec'/'post'/'merge': seconds}; polydet rows are
+[x0, y0, x1, y1, score, poly..., depth] in source-image coordinates,
+ctdet rows are [x0, y0, x1, y1, score].
 
 TPU-native differences:
   * preprocessing (resize + affine warp + normalize) runs on-device as one
     jitted program — no host OpenCV in the hot path;
-  * model forward + sigmoid + decode is a single jitted graph;
+  * model forward + sigmoid + (flip-average) + decode is a single jitted
+    graph;
   * post-process (inverse affine back to source coords) is one matmul over
     all vertices of all detections (ref post_process.py:105-122 looped per
     point).
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -26,7 +27,7 @@ import jax.numpy as jnp
 from ..configs import Config
 from ..geometry.affine import get_affine_transform, warp_axis_aligned
 from ..models import create_model
-from ..ops.decode import polydet_decode
+from ..ops.decode import polydet_decode, ctdet_decode
 from ..ops.nms import soft_nms
 from ..utils.timers import StageTimer
 
@@ -38,11 +39,9 @@ def polydet_post_process(dets: np.ndarray, c, s, out_h: int, out_w: int,
     dets: (B, K, 6+2N+1) from polydet_decode.  Vectorized equivalent of
     reference post_process.py:105-122 (per-point transform loop).
     """
-    from ..geometry.affine import get_affine_transform as gat
-
     ret = []
     for i in range(dets.shape[0]):
-        trans = gat(c[i], s[i], 0, (out_w, out_h), inv=True)
+        trans = get_affine_transform(c[i], s[i], 0, (out_w, out_h), inv=True)
         d = dets[i].copy()
         # bbox corners
         pts = d[:, :4].reshape(-1, 2)
@@ -62,8 +61,30 @@ def polydet_post_process(dets: np.ndarray, c, s, out_h: int, out_w: int,
     return ret
 
 
-class PolydetDetector:
-    """Single-image / batched polygon detector with stage timers."""
+def ctdet_post_process(dets: np.ndarray, c, s, out_h: int, out_w: int,
+                       num_classes: int) -> List[Dict[int, list]]:
+    """ctdet variant (ref post_process.py:86-104): bbox-only rows."""
+    ret = []
+    for i in range(dets.shape[0]):
+        trans = get_affine_transform(c[i], s[i], 0, (out_w, out_h), inv=True)
+        d = dets[i].copy()
+        pts = d[:, :4].reshape(-1, 2)
+        d[:, :4] = (pts @ trans[:, :2].T + trans[:, 2]).reshape(-1, 4)
+        classes = d[:, 5]
+        top: Dict[int, list] = {}
+        for j in range(num_classes):
+            inds = classes == j
+            top[j + 1] = d[inds, :5].astype(np.float32).tolist()
+        ret.append(top)
+    return ret
+
+
+class BaseDetector:
+    """Shared run-loop: pre-process -> device program -> post -> merge,
+    with the reference's 7-stage timing (base_detector.py:105-191)."""
+
+    # subclasses set: row length of a post-processed detection
+    det_len: int = 5
 
     def __init__(self, cfg: Config, variables=None, rng_seed: int = 0):
         self.cfg = cfg
@@ -72,6 +93,8 @@ class PolydetDetector:
             dtype=jnp.bfloat16 if cfg.mixed_precision else jnp.float32)
         self.mean = jnp.asarray(cfg.mean, dtype=jnp.float32)
         self.std = jnp.asarray(cfg.std, dtype=jnp.float32)
+        if variables is None and cfg.load_model:
+            variables = self._load_variables(cfg.load_model)
         if variables is None:
             variables = self.model.init(
                 jax.random.PRNGKey(rng_seed),
@@ -88,6 +111,24 @@ class PolydetDetector:
         self._pre_jit = jax.jit(self._pre_device)
         self._proc_jit = jax.jit(self._process_device)
 
+    def _load_variables(self, path: str):
+        """--load_model: orbax checkpoint dir or reference .pth file
+        (ref model.py:31-130 tolerant load)."""
+        init_vars = self.model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, self.cfg.input_h, self.cfg.input_w, 3)),
+            train=False)
+        if path.endswith(".pth") or path.endswith(".pt"):
+            from ..train.torch_import import load_reference_checkpoint
+            variables, report = load_reference_checkpoint(
+                path, init_vars, self.cfg.arch)
+            print(f"loaded torch checkpoint {path}: "
+                  f"{report['loaded']} loaded, "
+                  f"{len(report['skipped'])} skipped")
+            return variables
+        from ..train.checkpoint import restore_variables
+        return restore_variables(path, init_vars)
+
     # -- device programs -------------------------------------------------
 
     def _pre_device(self, image_u8, trans):
@@ -97,23 +138,17 @@ class PolydetDetector:
         # inference transforms are rot=0 -> axis-aligned matmul warp
         warped = warp_axis_aligned(img, trans, (cfg.input_h, cfg.input_w))
         out = (warped / 255.0 - self.mean) / self.std
-        return out[None]
+        imgs = out[None]
+        if cfg.flip_test:
+            imgs = jnp.concatenate([imgs, imgs[:, :, ::-1, :]], axis=0)
+        return imgs
+
+    def _heads(self, variables, images):
+        outs = self.model.apply(variables, images, train=False)
+        return outs[-1]
 
     def _process_device(self, variables, images):
-        cfg = self.cfg
-        outs = self.model.apply(variables, images, train=False)
-        out = outs[-1]
-        hm = jax.nn.sigmoid(out["hm"].astype(jnp.float32))
-        reg = out["reg"].astype(jnp.float32) if cfg.reg_offset else None
-        dets = polydet_decode(
-            hm,
-            out["poly"].astype(jnp.float32),
-            out["pseudo_depth"].astype(jnp.float32),
-            reg=reg,
-            k=cfg.K,
-            rep=cfg.rep,
-        )
-        return out, dets
+        raise NotImplementedError
 
     # -- host orchestration ---------------------------------------------
 
@@ -135,6 +170,9 @@ class PolydetDetector:
                 "out_height": inp_h // cfg.down_ratio,
                 "out_width": inp_w // cfg.down_ratio}
         return trans, meta
+
+    def _post(self, dets_host: np.ndarray, meta, scale: float):
+        raise NotImplementedError
 
     def run(self, image: np.ndarray) -> Dict:
         """Full pipeline on one HWC uint8/float image. Returns results +
@@ -169,20 +207,11 @@ class PolydetDetector:
             timer.stage("pre", fence=images)
 
             out, dets = self._proc_jit(self.variables, images)
-            timer.stage("net", fence=out["hm"])
+            timer.stage("net", fence=dets)
             dets_host = np.asarray(dets)
             timer.stage("dec")
 
-            dets_pp = polydet_post_process(
-                dets_host, [meta["c"]], [meta["s"]],
-                meta["out_height"], meta["out_width"], self.num_classes)
-            d0 = dets_pp[0]
-            length = 5 + 2 * self.cfg.nbr_points + 1
-            for j in range(1, self.num_classes + 1):
-                d0[j] = np.array(d0[j], dtype=np.float32).reshape(-1, length)
-                d0[j][:, :4] /= scale
-                d0[j][:, 5:-1] /= scale
-            detections.append(d0)
+            detections.append(self._post(dets_host, meta, scale))
             timer.stage("post")
 
         results = self.merge_outputs(detections)
@@ -194,7 +223,7 @@ class PolydetDetector:
 
     def merge_outputs(self, detections):
         """Concat scales + optional soft-NMS + global top-K score cut
-        (ref detectors/polydet.py:62-76)."""
+        (ref detectors/polydet.py:62-76, ctdet.py:64-79)."""
         results = {}
         for j in range(1, self.num_classes + 1):
             results[j] = np.concatenate(
@@ -210,3 +239,80 @@ class PolydetDetector:
                 keep = results[j][:, 4] >= thresh
                 results[j] = results[j][keep]
         return results
+
+
+class PolydetDetector(BaseDetector):
+    """Polygon instance detector (ref detectors/polydet.py)."""
+
+    def _process_device(self, variables, images):
+        cfg = self.cfg
+        out = self._heads(variables, images)
+        hm = jax.nn.sigmoid(out["hm"].astype(jnp.float32))
+        poly = out["poly"].astype(jnp.float32)
+        depth = out["pseudo_depth"].astype(jnp.float32)
+        reg = out["reg"].astype(jnp.float32) if cfg.reg_offset else None
+        if cfg.flip_test:
+            # average original + x-flipped heatmap/depth; polygons are not
+            # flip-symmetric per-channel, keep the unflipped branch
+            hm = (hm[0:1] + hm[1:2, :, ::-1, :]) / 2
+            depth = (depth[0:1] + depth[1:2, :, ::-1, :]) / 2
+            poly = poly[0:1]
+            reg = reg[0:1] if reg is not None else None
+        dets = polydet_decode(
+            hm, poly, depth, reg=reg, k=cfg.K, rep=cfg.rep)
+        return out, dets
+
+    def _post(self, dets_host, meta, scale):
+        dets_pp = polydet_post_process(
+            dets_host[:1], [meta["c"]], [meta["s"]],
+            meta["out_height"], meta["out_width"], self.num_classes)
+        d0 = dets_pp[0]
+        length = 5 + 2 * self.cfg.nbr_points + 1
+        for j in range(1, self.num_classes + 1):
+            d0[j] = np.array(d0[j], dtype=np.float32).reshape(-1, length)
+            d0[j][:, :4] /= scale
+            d0[j][:, 5:-1] /= scale
+        return d0
+
+
+class CtdetDetector(BaseDetector):
+    """Box detector for the ctdet task (ref detectors/ctdet.py)."""
+
+    def _process_device(self, variables, images):
+        cfg = self.cfg
+        out = self._heads(variables, images)
+        hm = jax.nn.sigmoid(out["hm"].astype(jnp.float32))
+        wh = out["wh"].astype(jnp.float32)
+        reg = out["reg"].astype(jnp.float32) if cfg.reg_offset else None
+        if cfg.flip_test:
+            hm = (hm[0:1] + hm[1:2, :, ::-1, :]) / 2
+            wh = (wh[0:1] + wh[1:2, :, ::-1, :]) / 2
+            reg = reg[0:1] if reg is not None else None
+        dets = ctdet_decode(hm, wh, reg=reg, k=cfg.K,
+                            cat_spec_wh=cfg.cat_spec_wh)
+        return out, dets
+
+    def _post(self, dets_host, meta, scale):
+        dets_pp = ctdet_post_process(
+            dets_host[:1], [meta["c"]], [meta["s"]],
+            meta["out_height"], meta["out_width"], self.num_classes)
+        d0 = dets_pp[0]
+        for j in range(1, self.num_classes + 1):
+            d0[j] = np.array(d0[j], dtype=np.float32).reshape(-1, 5)
+            d0[j][:, :4] /= scale
+        return d0
+
+
+DETECTORS = {
+    "polydet": PolydetDetector,
+    "ctdet": CtdetDetector,
+}
+
+
+def create_detector(cfg: Config, variables=None) -> BaseDetector:
+    """detector_factory equivalent (ref detectors/detector_factory.py)."""
+    cls = DETECTORS.get(cfg.task)
+    if cls is None:
+        raise ValueError(f"no detector for task '{cfg.task}' "
+                         f"(have: {sorted(DETECTORS)})")
+    return cls(cfg, variables=variables)

@@ -10,7 +10,7 @@ import numpy as np
 
 def main(argv=None):
     from .configs import Config
-    from .data import CocoPolyAnnotations, PolydetSampler, DATASETS, Loader
+    from .data import CocoPolyAnnotations, SAMPLERS, DATASETS, Loader
     from .train.trainer import Trainer
     from .utils.logger import Logger
 
@@ -22,17 +22,20 @@ def main(argv=None):
         raise SystemExit(f"dataset '{cfg.dataset}' has no adapter")
     meta = meta_cls(cfg.data_dir, cfg.nbr_points)
 
+    sampler_cls = SAMPLERS.get(cfg.task)
+    if sampler_cls is None:
+        raise SystemExit(f"task '{cfg.task}' has no sampler")
     train_ann = CocoPolyAnnotations(meta.annot_path("train"))
-    train_sampler = PolydetSampler(cfg, meta, train_ann, split="train",
-                                  img_dir=meta.img_dir("train"))
+    train_sampler = sampler_cls(cfg, meta, train_ann, split="train",
+                                img_dir=meta.img_dir("train"))
     train_loader = Loader(train_sampler, len(train_sampler),
                           cfg.batch_size, shuffle=True)
 
     val_loader = None
     try:
         val_ann = CocoPolyAnnotations(meta.annot_path("val"))
-        val_sampler = PolydetSampler(cfg, meta, val_ann, split="val",
-                                    img_dir=meta.img_dir("val"))
+        val_sampler = sampler_cls(cfg, meta, val_ann, split="val",
+                                  img_dir=meta.img_dir("val"))
         val_loader = Loader(val_sampler, len(val_sampler),
                             cfg.batch_size, shuffle=False, drop_last=False)
     except FileNotFoundError:

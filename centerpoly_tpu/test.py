@@ -14,8 +14,8 @@ import numpy as np
 
 def main(argv=None):
     from .configs import Config
-    from .data import CocoPolyAnnotations, PolydetSampler, DATASETS
-    from .infer.detector import PolydetDetector
+    from .data import CocoPolyAnnotations, SAMPLERS, DATASETS
+    from .infer.detector import create_detector
     from .utils.timers import AverageMeter
 
     cfg = Config.from_args(argv)
@@ -26,9 +26,12 @@ def main(argv=None):
 
     split = "val"
     ann = CocoPolyAnnotations(meta.annot_path(split))
-    sampler = PolydetSampler(cfg, meta, ann, split=split,
-                             img_dir=meta.img_dir(split))
-    detector = PolydetDetector(cfg)
+    sampler_cls = SAMPLERS.get(cfg.task)
+    if sampler_cls is None:
+        raise SystemExit(f"task '{cfg.task}' has no sampler")
+    sampler = sampler_cls(cfg, meta, ann, split=split,
+                          img_dir=meta.img_dir(split))
+    detector = create_detector(cfg)
 
     results = {}
     avg = {s: AverageMeter() for s in

@@ -63,6 +63,20 @@ def load_checkpoint(save_dir: str, tag: str, state):
     return new_state, int(restored["epoch"])
 
 
+def restore_variables(path: str, init_variables=None):
+    """Restore inference variables {'params', 'batch_stats'} from a
+    model_<tag> checkpoint dir written by save_checkpoint."""
+    del init_variables  # shapes come from the stored arrays
+    ocp = _ocp()
+    path = os.path.abspath(path)
+    # raw restore (no template needed): shapes come from the stored arrays
+    restored = ocp.PyTreeCheckpointer().restore(path)
+    out = {"params": restored["params"]}
+    if restored.get("batch_stats"):
+        out["batch_stats"] = restored["batch_stats"]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # PyTorch import
 # ---------------------------------------------------------------------------

@@ -17,9 +17,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..losses import polydet_loss, PolydetLossConfig
 
 
+def loss_fn_for_task(task: str) -> Callable:
+    """train_factory equivalent (ref trains/train_factory.py): task ->
+    loss function(outputs, batch, cfg) -> (loss, stats)."""
+    if task == "polydet":
+        return polydet_loss
+    if task == "ctdet":
+        from ..losses.ctdet import ctdet_loss
+        return ctdet_loss
+    if task == "ddd":
+        from ..losses.ddd import ddd_loss
+        return ddd_loss
+    if task == "exdet":
+        from ..losses.exdet import exdet_loss
+        return exdet_loss
+    if task == "multi_pose":
+        from ..losses.multi_pose import multi_pose_loss
+        return multi_pose_loss
+    raise ValueError(f"no train loss for task '{task}'")
+
+
 def make_train_step(loss_cfg: PolydetLossConfig,
-                    mesh: Mesh | None = None) -> Callable:
+                    mesh: Mesh | None = None,
+                    loss_callable: Callable | None = None) -> Callable:
     """Returns train_step(state, batch) -> (state, stats)."""
+    task_loss = loss_callable or polydet_loss
 
     def loss_fn(params, batch_stats, apply_fn, batch):
         variables = {"params": params}
@@ -29,7 +51,7 @@ def make_train_step(loss_cfg: PolydetLossConfig,
             variables, batch["input"], train=True,
             mutable=["batch_stats"] if batch_stats else [],
         )
-        loss, stats = polydet_loss(outs, batch, loss_cfg)
+        loss, stats = task_loss(outs, batch, loss_cfg)
         new_stats = mutated.get("batch_stats", batch_stats) if batch_stats \
             else batch_stats
         return loss, (stats, new_stats)
@@ -56,15 +78,17 @@ def make_train_step(loss_cfg: PolydetLossConfig,
 
 
 def make_eval_step(loss_cfg: PolydetLossConfig,
-                   mesh: Mesh | None = None) -> Callable:
+                   mesh: Mesh | None = None,
+                   loss_callable: Callable | None = None) -> Callable:
     """eval_step(state, batch) -> (outs, stats): forward + loss only."""
+    task_loss = loss_callable or polydet_loss
 
     def eval_step(state, batch):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         outs = state.apply_fn(variables, batch["input"], train=False)
-        loss, stats = polydet_loss(outs, batch, loss_cfg)
+        loss, stats = task_loss(outs, batch, loss_cfg)
         return outs[-1], stats
 
     if mesh is None:

@@ -2,7 +2,9 @@
 
 Behavioral reference: src/main.py:24-198 + src/lib/trains/base_trainer.py:
 64-149 — per-epoch train, periodic val with Cityscapes AP gating of
-model_best, LR step decay, model_last every epoch.
+model_best (main.py:162-186), LR step decay, model_last every epoch,
+--resume reloading model_last (+ optimizer), oracle head substitution
+during val (trains/polydet.py:49-70).
 """
 from __future__ import annotations
 
@@ -11,16 +13,58 @@ from typing import Dict, Optional
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from ..configs import Config
-from ..losses import PolydetLossConfig
+from ..losses import PolydetLossConfig, CtdetLossConfig
 from ..models import create_model
 from ..utils.timers import AverageMeter
 from ..utils.logger import Logger
 from .state import create_train_state
-from .step import make_train_step, make_eval_step
+from .step import make_train_step, make_eval_step, loss_fn_for_task
 from .mesh import make_mesh, shard_batch, replicate
-from .checkpoint import save_checkpoint
+from .checkpoint import save_checkpoint, load_checkpoint
+
+
+def loss_config_for(cfg: Config):
+    """Build the per-task loss config from the experiment config."""
+    if cfg.task == "polydet":
+        return PolydetLossConfig(
+            hm_weight=cfg.hm_weight, off_weight=cfg.off_weight,
+            poly_weight=cfg.poly_weight, depth_weight=cfg.depth_weight,
+            rep=cfg.rep, poly_loss=cfg.poly_loss,
+            poly_order=cfg.poly_order, reg_offset=cfg.reg_offset,
+            mse_loss=cfg.mse_loss)
+    if cfg.task == "ctdet":
+        return CtdetLossConfig(
+            hm_weight=cfg.hm_weight, off_weight=cfg.off_weight,
+            wh_weight=cfg.wh_weight, mse_loss=cfg.mse_loss,
+            reg_loss=cfg.reg_loss, dense_wh=cfg.dense_wh,
+            norm_wh=cfg.norm_wh, cat_spec_wh=cfg.cat_spec_wh,
+            reg_offset=cfg.reg_offset)
+    if cfg.task == "ddd":
+        from ..losses.ddd import DddLossConfig
+        return DddLossConfig(
+            hm_weight=cfg.hm_weight, dep_weight=cfg.dep_weight,
+            dim_weight=cfg.dim_weight, rot_weight=cfg.rot_weight,
+            wh_weight=cfg.wh_weight, off_weight=cfg.off_weight,
+            mse_loss=cfg.mse_loss, reg_bbox=cfg.reg_bbox,
+            reg_offset=cfg.reg_offset)
+    if cfg.task == "exdet":
+        from ..losses.exdet import ExdetLossConfig
+        return ExdetLossConfig(
+            hm_weight=cfg.hm_weight, off_weight=cfg.off_weight,
+            mse_loss=cfg.mse_loss, reg_offset=cfg.reg_offset)
+    if cfg.task == "multi_pose":
+        from ..losses.multi_pose import MultiPoseLossConfig
+        return MultiPoseLossConfig(
+            hm_weight=cfg.hm_weight, wh_weight=cfg.wh_weight,
+            off_weight=cfg.off_weight, hp_weight=cfg.hp_weight,
+            hm_hp_weight=cfg.hm_hp_weight, mse_loss=cfg.mse_loss,
+            reg_loss=cfg.reg_loss, dense_hp=cfg.dense_hp,
+            hm_hp=cfg.hm_hp, reg_hp_offset=cfg.reg_hp_offset,
+            reg_offset=cfg.reg_offset)
+    raise ValueError(f"no loss config for task '{cfg.task}'")
 
 
 class Trainer:
@@ -32,12 +76,8 @@ class Trainer:
         self.val_loader = val_loader
         self.meta = dataset_meta
         self.logger = logger
-        self.loss_cfg = PolydetLossConfig(
-            hm_weight=cfg.hm_weight, off_weight=cfg.off_weight,
-            poly_weight=cfg.poly_weight, depth_weight=cfg.depth_weight,
-            rep=cfg.rep, poly_loss=cfg.poly_loss,
-            poly_order=cfg.poly_order, reg_offset=cfg.reg_offset,
-            mse_loss=cfg.mse_loss)
+        self.loss_cfg = loss_config_for(cfg)
+        loss_callable = loss_fn_for_task(cfg.task)
 
         self.mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 \
             else None
@@ -50,9 +90,13 @@ class Trainer:
             steps_per_epoch=steps_per_epoch, grad_clip=cfg.grad_clip)
         if self.mesh is not None:
             self.state = replicate(self.state, self.mesh)
-        self.train_step = make_train_step(self.loss_cfg, mesh=self.mesh)
-        self.eval_step = make_eval_step(self.loss_cfg, mesh=self.mesh)
+        self.train_step = make_train_step(self.loss_cfg, mesh=self.mesh,
+                                          loss_callable=loss_callable)
+        self.eval_step = make_eval_step(self.loss_cfg, mesh=self.mesh,
+                                        loss_callable=loss_callable)
+        self._val_decode = None
         self.best = -1.0
+        self.start_epoch = 0
 
     def _log(self, txt: str):
         if self.logger is not None:
@@ -85,34 +129,108 @@ class Trainer:
                 self.logger.scalar_summary(f"train_{k}", v, epoch)
         return avg
 
-    def validate(self, epoch: int, save_dir: str) -> Optional[float]:
-        """Run val loss (and AP when the dataset meta provides GT)."""
-        if self.val_loader is None:
+    # -- validation -------------------------------------------------------
+
+    def _decode_outputs(self, outs, batch) -> Optional[Dict]:
+        """Decode a val batch's head maps into per-image results
+        (ref trains/polydet.py:220-237 save_result)."""
+        if self.cfg.task != "polydet" or "meta" not in batch:
             return None
+        from ..ops.decode import polydet_decode
+        from ..infer.detector import polydet_post_process
+        from ..utils.oracle import apply_oracles
+
+        cfg = self.cfg
+        heads = {k: np.asarray(jax.device_get(v), np.float32)
+                 for k, v in outs.items()}
+        if any(getattr(cfg, f, False) for f in (
+                "eval_oracle_hm", "eval_oracle_poly", "eval_oracle_offset",
+                "eval_oracle_pseudo_depth")):
+            gt_like = {k: np.asarray(v) for k, v in batch.items()
+                       if k != "meta"}
+            oracled = apply_oracles(heads, gt_like, cfg)
+            # oracle hm comes through as GT probabilities, not logits
+            hm = jnp.asarray(oracled["hm"]) if cfg.eval_oracle_hm \
+                else jax.nn.sigmoid(jnp.asarray(heads["hm"]))
+            heads = {**heads, **{k: oracled[k] for k in oracled}}
+        else:
+            hm = jax.nn.sigmoid(jnp.asarray(heads["hm"]))
+
+        dets = polydet_decode(
+            hm, jnp.asarray(heads["poly"]),
+            jnp.asarray(heads["pseudo_depth"]),
+            reg=jnp.asarray(heads["reg"]) if cfg.reg_offset else None,
+            k=cfg.K, rep=cfg.rep)
+        dets = np.asarray(dets)
+        results = {}
+        metas = batch["meta"]
+        for i, m in enumerate(metas):
+            pp = polydet_post_process(
+                dets[i:i + 1], [m["c"]], [m["s"]],
+                cfg.output_h, cfg.output_w, cfg.num_classes)[0]
+            length = 5 + 2 * cfg.nbr_points + 1
+            for j in range(1, cfg.num_classes + 1):
+                pp[j] = np.array(pp[j], np.float32).reshape(-1, length)
+            results[int(m["img_id"])] = pp
+        return results
+
+    def validate(self, epoch: int, save_dir: str):
+        """Val loss + (polydet) decoded results -> instance AP when the
+        dataset meta can evaluate.  Returns (val_loss, ap_or_None)."""
+        if self.val_loader is None:
+            return None, None
         meters: Dict[str, AverageMeter] = {}
+        results = {}
         for batch in self.val_loader:
             bsz = batch["input"].shape[0]
-            _, stats = self.eval_step(self.state, self._put(batch))
+            outs, stats = self.eval_step(self.state, self._put(batch))
             for k, v in stats.items():
                 meters.setdefault(k, AverageMeter()).update(float(v), bsz)
+            r = self._decode_outputs(outs, batch)
+            if r:
+                results.update(r)
         avg = {k: m.avg for k, m in meters.items()}
         self._log(f"val   {epoch} | " +
                   " ".join(f"{k} {v:.4f}" for k, v in avg.items()) + "\n")
         if self.logger is not None:
             for k, v in avg.items():
                 self.logger.scalar_summary(f"val_{k}", v, epoch)
-        return avg.get("loss")
+
+        ap = None
+        if results and self.meta is not None:
+            try:
+                res = self.meta.run_eval(results, save_dir)
+            except Exception as e:  # eval GT genuinely unavailable
+                self._log(f"val {epoch} | AP eval skipped: {e}\n")
+                res = None
+            if res is not None:
+                ap = float(res.get("allAp", 0.0) or 0.0)
+                self._log(f"val   {epoch} | AP {ap:.4f} "
+                          f"AP50 {res.get('allAp50%')}\n")
+                if self.logger is not None:
+                    self.logger.scalar_summary("val_AP", ap, epoch)
+        return avg.get("loss"), ap
 
     def fit(self, save_dir: str, num_epochs: Optional[int] = None):
         cfg = self.cfg
         num_epochs = num_epochs or cfg.num_epochs
-        for epoch in range(1, num_epochs + 1):
+        if cfg.resume:
+            try:
+                self.state, self.start_epoch = load_checkpoint(
+                    save_dir, "last", self.state)
+                self._log(f"resumed from epoch {self.start_epoch}\n")
+            except Exception as e:
+                self._log(f"resume requested but no usable model_last "
+                          f"({e}); starting fresh\n")
+        for epoch in range(self.start_epoch + 1, num_epochs + 1):
             self.run_epoch(epoch)
             save_checkpoint(save_dir, "last", self.state, epoch)
             if cfg.val_intervals > 0 and epoch % cfg.val_intervals == 0:
-                val_loss = self.validate(epoch, save_dir)
-                # reference gates best on AP when eval runs, else loss
-                metric = -val_loss if val_loss is not None else None
+                val_loss, ap = self.validate(epoch, save_dir)
+                # gate best on AP when eval ran, else on -loss
+                # (ref main.py:162-186)
+                metric = ap if ap is not None else (
+                    -val_loss if val_loss is not None else None)
                 if metric is not None and metric > self.best:
                     self.best = metric
                     save_checkpoint(save_dir, "best", self.state, epoch)
