@@ -303,6 +303,13 @@ class CtdetDetector(BaseDetector):
         return d0
 
 
+def _task_detectors():
+    from .task_detectors import DddDetector, MultiPoseDetector, \
+        ExdetDetector
+    return {"ddd": DddDetector, "multi_pose": MultiPoseDetector,
+            "exdet": ExdetDetector}
+
+
 DETECTORS = {
     "polydet": PolydetDetector,
     "ctdet": CtdetDetector,
@@ -311,8 +318,7 @@ DETECTORS = {
 
 def create_detector(cfg: Config, variables=None) -> BaseDetector:
     """detector_factory equivalent (ref detectors/detector_factory.py)."""
-    cls = DETECTORS.get(cfg.task)
+    cls = DETECTORS.get(cfg.task) or _task_detectors().get(cfg.task)
     if cls is None:
-        raise ValueError(f"no detector for task '{cfg.task}' "
-                         f"(have: {sorted(DETECTORS)})")
+        raise ValueError(f"no detector for task '{cfg.task}'")
     return cls(cfg, variables=variables)

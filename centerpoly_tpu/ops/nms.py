@@ -65,6 +65,13 @@ def soft_nms(dets: np.ndarray, nt: float = 0.5, sigma: float = 0.5,
     return np.array(keep, dtype=np.int64)
 
 
+def soft_nms_39(dets: np.ndarray, nt: float = 0.5, sigma: float = 0.5,
+                thresh: float = 0.001, method: int = 2) -> np.ndarray:
+    """39-column (pose) variant (ref nms.pyx soft_nms_39) — the algorithm
+    only reads cols [:4] and updates col 4, so it is the same routine."""
+    return soft_nms(dets, nt=nt, sigma=sigma, thresh=thresh, method=method)
+
+
 def soft_nms_batch(boxes: jnp.ndarray, scores: jnp.ndarray,
                    sigma: float = 0.5, thresh: float = 0.001) -> jnp.ndarray:
     """Fixed-shape on-device gaussian soft-NMS.
