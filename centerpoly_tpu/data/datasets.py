@@ -117,6 +117,215 @@ class IDDMeta(DatasetMeta):
             base, f"{split}{self.nbr_points}_regular_interval.json")
 
 
+class CocoMeta(DatasetMeta):
+    """Reference: dataset/coco.py:13-70 — 80-class COCO 2017."""
+    name = "coco"
+    num_classes = 80
+    default_resolution = (512, 512)
+    class_name = [
+        "__background__", "person", "bicycle", "car", "motorcycle",
+        "airplane", "bus", "train", "truck", "boat", "traffic light",
+        "fire hydrant", "stop sign", "parking meter", "bench", "bird",
+        "cat", "dog", "horse", "sheep", "cow", "elephant", "bear", "zebra",
+        "giraffe", "backpack", "umbrella", "handbag", "tie", "suitcase",
+        "frisbee", "skis", "snowboard", "sports ball", "kite",
+        "baseball bat", "baseball glove", "skateboard", "surfboard",
+        "tennis racket", "bottle", "wine glass", "cup", "fork", "knife",
+        "spoon", "bowl", "banana", "apple", "sandwich", "orange",
+        "broccoli", "carrot", "hot dog", "pizza", "donut", "cake", "chair",
+        "couch", "potted plant", "bed", "dining table", "toilet", "tv",
+        "laptop", "mouse", "remote", "keyboard", "cell phone", "microwave",
+        "oven", "toaster", "sink", "refrigerator", "book", "clock", "vase",
+        "scissors", "teddy bear", "hair drier", "toothbrush"]
+
+    def __init__(self, data_root: str = "", nbr_points: int = 16):
+        super().__init__(data_root, nbr_points)
+        self._valid_ids = [
+            1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14, 15, 16, 17, 18, 19,
+            20, 21, 22, 23, 24, 25, 27, 28, 31, 32, 33, 34, 35, 36, 37, 38,
+            39, 40, 41, 42, 43, 44, 46, 47, 48, 49, 50, 51, 52, 53, 54, 55,
+            56, 57, 58, 59, 60, 61, 62, 63, 64, 65, 67, 70, 72, 73, 74, 75,
+            76, 77, 78, 79, 80, 81, 82, 84, 85, 86, 87, 88, 89, 90]
+        self.cat_ids = {v: i for i, v in enumerate(self._valid_ids)}
+
+    def annot_path(self, split: str) -> str:
+        base = os.path.join(self.data_root, "coco", "annotations")
+        if split == "test":
+            return os.path.join(base, "image_info_test-dev2017.json")
+        return os.path.join(base, f"instances_{split}2017.json")
+
+    def img_dir(self, split: str):
+        d = os.path.join(self.data_root, "coco", "images", f"{split}2017")
+        return d if os.path.isdir(d) else None
+
+    def run_eval(self, results, save_dir: str):
+        """COCO bbox mAP over {img_id: {cls: rows}} ctdet results."""
+        import json
+        import numpy as np
+        from .coco_poly import CocoPolyAnnotations
+        from ..eval.coco_eval import evaluate_coco_map
+
+        ann = CocoPolyAnnotations(self.annot_path("val"))
+        remapped = {}
+        for img_id, per_class in results.items():
+            remapped[int(img_id)] = {
+                self._valid_ids[cls - 1]: np.asarray(rows, np.float32)
+                for cls, rows in per_class.items() if len(rows)}
+        res = evaluate_coco_map(ann, remapped)
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, "coco_eval.json"), "w") as f:
+            json.dump(res, f, indent=2)
+        return res
+
+
+class CocoHpMeta(CocoMeta):
+    """Reference: dataset/coco_hp.py — person keypoints."""
+    name = "coco_hp"
+    num_classes = 1
+    class_name = ["__background__", "person"]
+
+    def __init__(self, data_root: str = "", nbr_points: int = 16):
+        DatasetMeta.__init__(self, data_root, nbr_points)
+        self._valid_ids = [1]
+        self.cat_ids = {1: 0}
+
+    def annot_path(self, split: str) -> str:
+        base = os.path.join(self.data_root, "coco", "annotations")
+        return os.path.join(base, f"person_keypoints_{split}2017.json")
+
+
+class PascalMeta(DatasetMeta):
+    """Reference: dataset/pascal.py — VOC 0712 in COCO json form."""
+    name = "pascal"
+    num_classes = 20
+    default_resolution = (384, 384)
+    class_name = [
+        "__background__", "aeroplane", "bicycle", "bird", "boat", "bottle",
+        "bus", "car", "cat", "chair", "cow", "diningtable", "dog", "horse",
+        "motorbike", "person", "pottedplant", "sheep", "sofa", "train",
+        "tvmonitor"]
+
+    def annot_path(self, split: str) -> str:
+        base = os.path.join(self.data_root, "voc", "annotations")
+        name = {"train": "pascal_trainval0712.json",
+                "val": "pascal_test2007.json",
+                "test": "pascal_test2007.json"}[split]
+        return os.path.join(base, name)
+
+    def img_dir(self, split: str):
+        d = os.path.join(self.data_root, "voc", "images")
+        return d if os.path.isdir(d) else None
+
+    def run_eval(self, results, save_dir: str):
+        import json
+        import numpy as np
+        from .coco_poly import CocoPolyAnnotations
+        from ..eval.coco_eval import evaluate_coco_map
+
+        ann = CocoPolyAnnotations(self.annot_path("val"))
+        remapped = {int(i): {c: np.asarray(r, np.float32)
+                             for c, r in pc.items() if len(r)}
+                    for i, pc in results.items()}
+        res = evaluate_coco_map(ann, remapped)
+        os.makedirs(save_dir, exist_ok=True)
+        with open(os.path.join(save_dir, "voc_eval.json"), "w") as f:
+            json.dump(res, f, indent=2)
+        return res
+
+
+class KittiMeta(DatasetMeta):
+    """Reference: dataset/kitti.py — 3D detection (ddd task)."""
+    name = "kitti"
+    num_classes = 3
+    default_resolution = (384, 1280)
+    class_name = ["__background__", "Pedestrian", "Car", "Cyclist"]
+
+    def __init__(self, data_root: str = "", nbr_points: int = 16,
+                 kitti_split: str = "3dop"):
+        super().__init__(data_root, nbr_points)
+        self.kitti_split = kitti_split
+        # category 4=Van 5=Person_sitting -> ignore-as-neighbor (-3/-2),
+        # 9=DontCare -> -1 (ref kitti.py:39)
+        self.cat_ids = {1: 0, 2: 1, 3: 2, 4: -3, 5: -3, 6: -2, 7: -99,
+                        8: -99, 9: -1}
+
+    def annot_path(self, split: str) -> str:
+        return os.path.join(self.data_root, "kitti", "annotations",
+                            f"kitti_{self.kitti_split}_{split}.json")
+
+    def img_dir(self, split: str):
+        d = os.path.join(self.data_root, "kitti", "images", "trainval")
+        return d if os.path.isdir(d) else None
+
+    def write_kitti_results(self, results, results_dir: str,
+                            id_to_file=None):
+        """Dump {img_id: {cls: (n, 13) ddd rows}} as KITTI txt files
+        (ref dataset/kitti.py:66-87 save_results)."""
+        os.makedirs(results_dir, exist_ok=True)
+        for img_id, per_class in results.items():
+            name = f"{int(img_id):06d}.txt" if id_to_file is None \
+                else id_to_file[int(img_id)]
+            with open(os.path.join(results_dir, name), "w") as f:
+                for cls_ind in per_class:
+                    cls_name = self.class_name[int(cls_ind)]
+                    for row in per_class[cls_ind]:
+                        # row: [alpha, bbox4, dim3(h,w,l), loc3, ry, score]
+                        f.write(f"{cls_name} 0.0 0")
+                        for v in row:
+                            f.write(f" {float(v):.2f}")
+                        f.write("\n")
+
+    def run_eval(self, results, save_dir: str,
+                 gt_label_dir: str | None = None):
+        """Write KITTI txt + run the native cpp/ evaluator."""
+        from ..eval.native import run_kitti_eval
+        res_dir = os.path.join(save_dir, "results")
+        self.write_kitti_results(results, res_dir)
+        if gt_label_dir is None:
+            gt_label_dir = os.path.join(self.data_root, "kitti",
+                                        "training", "label_2")
+        if not os.path.isdir(gt_label_dir):
+            return None
+        return run_kitti_eval(gt_label_dir, res_dir)
+
+
+class Kitti2dMeta(KittiMeta):
+    """Reference: dataset/kitti2d.py — 2D boxes on KITTI (ctdet task)."""
+    name = "kitti2d"
+
+
+class UADetracMeta(DatasetMeta):
+    """Reference: dataset/uadetrac.py — 4-class vehicle detection."""
+    name = "uadetrac"
+    num_classes = 4
+    default_resolution = (512, 512)
+    class_name = ["__background__", "bus", "car", "others", "van"]
+
+    def annot_path(self, split: str) -> str:
+        base = os.path.join(self.data_root, "UA-Detrac", "COCO-format")
+        name = {"train": "train.json", "val": "val.json",
+                "test": "test-1-on-30.json"}[split]
+        return os.path.join(base, name)
+
+    def run_eval(self, results, save_dir: str):
+        return PascalMeta.run_eval(self, results, save_dir)
+
+
+class UAVMeta(DatasetMeta):
+    """Reference: dataset/uav.py — single-class drone detection."""
+    name = "uav"
+    num_classes = 1
+    default_resolution = (512, 512)
+    class_name = ["__background__", "drone"]
+
+    def annot_path(self, split: str) -> str:
+        base = os.path.join(self.data_root, "UAV", "COCO-format")
+        return os.path.join(base, f"{split}.json")
+
+    def run_eval(self, results, save_dir: str):
+        return PascalMeta.run_eval(self, results, save_dir)
+
+
 DATASETS = {
     "cityscapes": CityscapesMeta,
     "kitti_poly": KittiPolyMeta,
@@ -124,4 +333,11 @@ DATASETS = {
     # while its factory key is `IDD` (SURVEY.md §5 known defect, fixed here)
     "IDD": IDDMeta,
     "idd": IDDMeta,
+    "coco": CocoMeta,
+    "coco_hp": CocoHpMeta,
+    "pascal": PascalMeta,
+    "kitti": KittiMeta,
+    "kitti2d": Kitti2dMeta,
+    "uadetrac": UADetracMeta,
+    "uav": UAVMeta,
 }
