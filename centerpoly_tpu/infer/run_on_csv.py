@@ -1,0 +1,75 @@
+"""Run the detector over every image listed in a CSV and write a
+detection CSV (reference surface: src/run_on_csv.py).
+
+    python -m centerpoly_tpu.infer.run_on_csv polydet \
+        --source_csv in.csv --target_csv out.csv \
+        --arch smallhourglass --load_model ... --dataset cityscapes
+
+Input CSV rows start with the image path (first column); output rows are
+`path,x0,y0,x1,y1,label,score,x1,y1,...` matching the reference's emitted
+format (run_on_csv.py:69-76).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    from ..configs import Config
+    from ..data import DATASETS
+    from .detector import create_detector
+
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    def take(flag, default=None):
+        if flag in argv:
+            i = argv.index(flag)
+            v = argv[i + 1]
+            del argv[i:i + 2]
+            return v
+        return default
+
+    source_csv = take("--source_csv")
+    target_csv = take("--target_csv", "results.csv")
+    if source_csv is None:
+        raise SystemExit("--source_csv <csv> is required")
+
+    cfg = Config.from_args(argv)
+    meta_cls = DATASETS.get(cfg.dataset)
+    class_names = (meta_cls.class_name[1:] if meta_cls
+                   else [str(i) for i in range(cfg.num_classes)])
+    detector = create_detector(cfg)
+
+    with open(source_csv) as f:
+        images = sorted({line.split(",")[0].strip()
+                         for line in f if line.strip()})
+
+    import cv2
+    n = len(images)
+    with open(target_csv, "w") as out:
+        for count, path in enumerate(images):
+            if count % 100 == 0:
+                print(f"progress: {100.0 * count / max(n, 1):.1f}%",
+                      flush=True)
+            img = cv2.imread(path)
+            if img is None:
+                print(f"skipping unreadable {path}")
+                continue
+            ret = detector.run(img)
+            for label in range(1, cfg.num_classes + 1):
+                for det in ret["results"][label]:
+                    box = [int(v) for v in det[:4]]
+                    score = float(det[4])
+                    poly = [int(v) for v in det[5:-1]] \
+                        if len(det) > 6 else []
+                    row = ([path] + box + [class_names[label - 1], score]
+                           + poly)
+                    out.write(",".join(str(v) for v in row) + "\n")
+    print(f"wrote {target_csv}")
+
+
+if __name__ == "__main__":
+    main()
