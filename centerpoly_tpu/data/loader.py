@@ -1,9 +1,13 @@
 """Batch loader with background prefetch.
 
-Replaces the reference's torch DataLoader workers (src/main.py:141-148)
-with a double-buffered thread prefetcher: sample encoding (numpy, GIL-released
-cv2/numpy ops) overlaps device compute.  Fixed batch shapes -> no
-recompilation.
+Replaces the reference's torch DataLoader workers (src/main.py:141-148).
+Two modes:
+  * num_workers=0 — a double-buffered prefetch thread: sample encoding
+    (numpy, GIL-released cv2/numpy ops) overlaps device compute;
+  * num_workers>0 — a pool of worker processes encodes samples in
+    parallel (the reference's multi-worker DataLoader equivalent), with
+    batches reassembled in submission order.
+Fixed batch shapes -> no recompilation.
 """
 from __future__ import annotations
 
@@ -24,18 +28,31 @@ def stack_batch(samples) -> Dict[str, np.ndarray]:
     return out
 
 
+_WORKER_SAMPLER = None
+
+
+def _worker_init(sampler):
+    global _WORKER_SAMPLER
+    _WORKER_SAMPLER = sampler
+
+
+def _worker_encode(batch_idx):
+    return stack_batch([_WORKER_SAMPLER(int(i)) for i in batch_idx])
+
+
 class Loader:
     """Iterate shuffled fixed-size batches from a sampler."""
 
     def __init__(self, sampler: Callable[[int], dict], num_samples: int,
                  batch_size: int, shuffle: bool = True, drop_last: bool = True,
-                 prefetch: int = 2, seed: int = 0):
+                 prefetch: int = 2, seed: int = 0, num_workers: int = 0):
         self.sampler = sampler
         self.num_samples = num_samples
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_workers = num_workers
         self.rng = np.random.RandomState(seed)
 
     def __len__(self):
@@ -51,7 +68,7 @@ class Loader:
         for i in range(0, n, self.batch_size):
             yield idx[i:i + self.batch_size]
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _iter_threaded(self) -> Iterator[Dict[str, np.ndarray]]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
@@ -70,3 +87,20 @@ class Loader:
             if item is stop:
                 break
             yield item
+
+    def _iter_processes(self) -> Iterator[Dict[str, np.ndarray]]:
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        with ctx.Pool(self.num_workers, initializer=_worker_init,
+                      initargs=(self.sampler,)) as pool:
+            # imap preserves submission order; workers run ahead by
+            # pool-internal chunking + the iterator's laziness
+            for batch in pool.imap(_worker_encode,
+                                   self._index_batches()):
+                yield batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.num_workers > 0:
+            return self._iter_processes()
+        return self._iter_threaded()

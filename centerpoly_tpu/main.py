@@ -29,7 +29,8 @@ def main(argv=None):
     train_sampler = sampler_cls(cfg, meta, train_ann, split="train",
                                 img_dir=meta.img_dir("train"))
     train_loader = Loader(train_sampler, len(train_sampler),
-                          cfg.batch_size, shuffle=True)
+                          cfg.batch_size, shuffle=True,
+                          num_workers=cfg.num_workers)
 
     val_loader = None
     try:

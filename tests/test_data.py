@@ -176,3 +176,25 @@ class TestLoader:
         out = stack_batch(samples)
         assert out["a"].shape == (2, 2, 2)
         assert isinstance(out["meta"], list)
+
+
+class TestLoaderWorkers:
+    def test_multiprocess_matches_threaded(self, tmp_path):
+        path = synthetic_coco(tmp_path)
+        cfg = Config(task="polydet", dataset="cityscapes",
+                     input_h=128, input_w=256)
+        meta = CityscapesMeta(str(tmp_path))
+        sampler = PolydetSampler(cfg, meta, CocoPolyAnnotations(path),
+                                 split="val")
+        a = Loader(sampler, len(sampler), 2, shuffle=False,
+                   drop_last=False, num_workers=0)
+        b = Loader(sampler, len(sampler), 2, shuffle=False,
+                   drop_last=False, num_workers=2)
+        batches_a = list(a)
+        batches_b = list(b)
+        assert len(batches_a) == len(batches_b)
+        for ba, bb in zip(batches_a, batches_b):
+            for k in ba:
+                if k == "meta":
+                    continue
+                np.testing.assert_allclose(ba[k], bb[k], rtol=1e-6)
