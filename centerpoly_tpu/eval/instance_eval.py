@@ -222,21 +222,33 @@ def evaluate_matches(matches: Dict, cfg: InstanceEvalConfig) -> np.ndarray:
     return ap
 
 
+def _match_one(args):
+    key, gt, preds, cfg = args
+    gt_i, pred_i = match_image(np.asarray(gt), preds, cfg)
+    return key, {"groundTruth": gt_i, "prediction": pred_i}
+
+
 def evaluate_instances(gt_images: Dict[str, np.ndarray],
                        predictions: Dict[str, List[dict]],
-                       cfg: Optional[InstanceEvalConfig] = None):
+                       cfg: Optional[InstanceEvalConfig] = None,
+                       workers: int = 0):
     """Full evaluation from in-memory arrays.
 
     gt_images: {img_key: (H, W) instance-id array}.
     predictions: {img_key: [{'mask', 'labelID', 'conf'}]}.
+    workers > 1 matches images in a process pool, like the reference's
+    4-process matcher (evalInstanceLevelSemanticLabeling.py:283-298).
     Returns dict with 'allAp', 'allAp50', per-class APs.
     """
     cfg = cfg or InstanceEvalConfig()
-    matches = {}
-    for key, gt in gt_images.items():
-        gt_i, pred_i = match_image(np.asarray(gt), predictions.get(key, []),
-                                   cfg)
-        matches[key] = {"groundTruth": gt_i, "prediction": pred_i}
+    jobs = [(key, gt, predictions.get(key, []), cfg)
+            for key, gt in gt_images.items()]
+    if workers > 1 and len(jobs) > 1:
+        import multiprocessing as mp
+        with mp.get_context("fork").Pool(workers) as pool:
+            matches = dict(pool.map(_match_one, jobs))
+    else:
+        matches = dict(_match_one(j) for j in jobs)
     ap = evaluate_matches(matches, cfg)
     names = list(cfg.instance_labels.values())
     overlaps = np.asarray(cfg.overlaps)

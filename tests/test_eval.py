@@ -179,3 +179,26 @@ class TestEndToEndHarness:
             gt_images={"1": gt}, thresh=0.05)
         assert res is not None
         assert res["classes"]["car"]["ap50%"] == pytest.approx(1.0)
+
+
+def test_multiprocess_matcher_matches_serial():
+    rng = np.random.RandomState(5)
+    gt_images, predictions = {}, {}
+    for k in range(3):
+        gt = np.zeros((64, 96), np.int32)
+        gt[10:30, 10:40] = 26000 + k   # car instance
+        gt[40:60, 50:90] = 24000 + k   # person instance
+        key = f"img{k}"
+        gt_images[key] = gt
+        m1 = np.zeros((64, 96), np.uint8)
+        m1[10:30, 10:40] = 255
+        m2 = np.zeros((64, 96), np.uint8)
+        m2[40:58, 50:88] = 255
+        predictions[key] = [
+            {"mask": m1, "labelID": 26, "conf": 0.9},
+            {"mask": m2, "labelID": 24, "conf": 0.8},
+        ]
+    serial = evaluate_instances(gt_images, predictions)
+    parallel = evaluate_instances(gt_images, predictions, workers=3)
+    assert serial["allAp"] == parallel["allAp"]
+    assert serial["allAp50%"] == parallel["allAp50%"]
