@@ -1,0 +1,93 @@
+"""BASELINE config #5 benchmark: Hourglass + full loss (focal +
+Weiler-Atherton polygon IoU + order) train step on a Cityscapes-shaped
+mini-batch.
+
+Measures compile time and steady-state step time of the jitted train step
+(the reference runs this loss as a Python per-object loop on GPU tensors,
+trains/polydet.py:38-162 + losses.py:833-959).
+
+    python experiments/bench_train_iou.py [--arch smallhourglass]
+        [--batch 4] [--h 512] [--w 1024]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--arch", default="smallhourglass")
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--h", type=int, default=512)
+    p.add_argument("--w", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=10)
+    args = p.parse_args()
+
+    import jax
+    from centerpoly_tpu.configs import Config
+    from centerpoly_tpu.models import create_model
+    from centerpoly_tpu.train import create_train_state, make_train_step
+    from centerpoly_tpu.train.trainer import loss_config_for
+
+    cfg = Config(task="polydet", dataset="cityscapes", arch=args.arch,
+                 input_h=args.h, input_w=args.w, batch_size=args.batch,
+                 poly_loss="l1+iou", poly_order=True, rep="polar",
+                 elliptical_gt=True)
+    model = create_model(cfg.arch, cfg.heads, cfg.head_conv)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (1, cfg.input_h, cfg.input_w, 3),
+        base_lr=cfg.lr, lr_steps=cfg.lr_step, steps_per_epoch=100)
+    step = make_train_step(loss_config_for(cfg))
+
+    b, k, n2 = args.batch, cfg.max_objs, cfg.nbr_points * 2
+    oh, ow = cfg.output_h, cfg.output_w
+    rng = np.random.RandomState(0)
+    # polar GT: radii + sorted angles so the IoU clip sees realistic input
+    radii = rng.uniform(2, 20, (b, k, cfg.nbr_points))
+    angles = np.sort(rng.uniform(0, 2 * np.pi, (b, k, cfg.nbr_points)), -1)
+    poly = np.empty((b, k, n2), np.float32)
+    poly[..., 0::2] = radii
+    poly[..., 1::2] = angles
+    batch = {
+        "input": rng.randn(b, cfg.input_h, cfg.input_w, 3).astype(
+            np.float32),
+        "hm": np.zeros((b, oh, ow, cfg.num_classes), np.float32),
+        "reg_mask": (rng.rand(b, k) < 0.25).astype(np.float32),
+        "ind": rng.randint(0, oh * ow, (b, k)).astype(np.int32),
+        "poly": poly,
+        "pseudo_depth": rng.rand(b, k, 1).astype(np.float32),
+        "reg": rng.rand(b, k, 2).astype(np.float32),
+    }
+    batch["hm"][:, 5, 5, 0] = 1.0
+
+    t0 = time.perf_counter()
+    state, stats = step(state, batch)
+    jax.block_until_ready(stats["loss"])
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, stats = step(state, batch)
+    jax.block_until_ready(stats["loss"])
+    step_s = (time.perf_counter() - t0) / args.steps
+
+    print(json.dumps({
+        "config": f"{args.arch} {args.batch}x{args.h}x{args.w} "
+                  "focal+WA-IoU+order (polar)",
+        "compile_s": round(compile_s, 2),
+        "step_s": round(step_s, 4),
+        "loss": float(stats["loss"]),
+    }))
+
+
+if __name__ == "__main__":
+    main()
