@@ -84,8 +84,22 @@ def run_instance_eval(meta, results: Dict, save_dir: str,
 
     keys = list(gt_images.keys())
     predictions = load_prediction_dir(res_dir, keys)
-    res = evaluate_instances(gt_images, predictions)
+    res = evaluate_instances(gt_images, predictions,
+                             workers=min(4, os.cpu_count() or 1))
     res_path = os.path.join(save_dir, "instance_ap.json")
     with open(res_path, "w") as f:
         json.dump(res, f, indent=2)
+
+    # gtInstances.json cache artifact (ref evalInstanceLevelSemantic
+    # Labeling.py:196-212): per-image instance stats, written once so
+    # repeated evals / external tools can skip re-scanning the GT pngs
+    gti_path = os.path.join(save_dir, "gtInstances.json")
+    if not os.path.exists(gti_path):
+        from .instance_eval import (
+            InstanceEvalConfig, gt_instances_from_image)
+        cfg_eval = InstanceEvalConfig()
+        cache = {k: gt_instances_from_image(np.asarray(v), cfg_eval)
+                 for k, v in gt_images.items()}
+        with open(gti_path, "w") as f:
+            json.dump(cache, f)
     return res
