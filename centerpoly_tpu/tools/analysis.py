@@ -1,0 +1,144 @@
+"""Offline analysis tools.
+
+Reference surfaces:
+  * src/tools/eval_coco.py — score a results.json against COCO GT;
+  * src/tools/calc_coco_overlap.py — how well N-vertex polygon
+    approximations cover the original instance masks (GT quality study);
+  * src/tools/postprocessing_disks.py — simplify predicted masks into
+    polygons via Douglas-Peucker contours;
+  * src/tools/vis_pred.py — overlay results.json predictions on images.
+"""
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def eval_coco_results(gt_json: str, results_json: str) -> Dict[str, float]:
+    """Score a COCO-format detection results file (ref eval_coco.py).
+
+    results_json rows: {image_id, category_id, bbox [x, y, w, h], score}.
+    """
+    from ..data.coco_poly import CocoPolyAnnotations
+    from ..eval.coco_eval import evaluate_coco_map
+
+    ann = CocoPolyAnnotations(gt_json)
+    with open(results_json) as f:
+        rows = json.load(f)
+    per_img: Dict[int, Dict[int, list]] = {}
+    for r in rows:
+        x, y, w, h = r["bbox"]
+        per_img.setdefault(int(r["image_id"]), {}).setdefault(
+            int(r["category_id"]), []).append(
+            [x, y, x + w, y + h, r["score"]])
+    results = {i: {c: np.asarray(v, np.float32) for c, v in pc.items()}
+               for i, pc in per_img.items()}
+    return evaluate_coco_map(ann, results)
+
+
+def polygon_coverage(gt_json: str, n_points: int = 16,
+                     method: str = "regular_interval",
+                     max_images: Optional[int] = None) -> Dict[str, float]:
+    """Mean IoU between each GT mask and its N-vertex polygon
+    approximation (ref calc_coco_overlap.py's study, rebuilt on the
+    ray-cast sampler from tools/gt_polygons)."""
+    from ..data.coco_poly import CocoPolyAnnotations
+    from .gt_polygons import sample_polygon, rasterize_polygon
+
+    ann = CocoPolyAnnotations(gt_json)
+    ious = []
+    for count, img_id in enumerate(ann.get_img_ids()):
+        if max_images is not None and count >= max_images:
+            break
+        info = ann.load_img(img_id)
+        h, w = int(info.get("height", 512)), int(info.get("width", 512))
+        for a in ann.load_anns(img_id):
+            seg = a.get("segmentation") or (
+                [a["poly"]] if "poly" in a else None)
+            if not seg or not isinstance(seg, list):
+                continue
+            orig = np.asarray(seg[0], np.float32).reshape(-1, 2)
+            if len(orig) < 3:
+                continue
+            gt_mask = rasterize_polygon(orig, h, w)
+            approx = sample_polygon(orig, n_points, method=method,
+                                    height=h, width=w)
+            ap_mask = rasterize_polygon(
+                np.asarray(approx, np.float32).reshape(-1, 2), h, w)
+            inter = np.logical_and(gt_mask, ap_mask).sum()
+            union = np.logical_or(gt_mask, ap_mask).sum()
+            if union > 0:
+                ious.append(inter / union)
+    ious = np.asarray(ious, np.float64)
+    return {"mean_iou": float(ious.mean()) if len(ious) else 0.0,
+            "n": int(len(ious))}
+
+
+def simplify_masks(mask_dir: str, out_dir: str,
+                   alpha: float = 0.001) -> float:
+    """Douglas-Peucker polygon simplification of binary mask PNGs
+    (ref postprocessing_disks.py). Returns mean seconds per image."""
+    import time
+    import cv2
+    from PIL import Image, ImageDraw
+
+    os.makedirs(out_dir, exist_ok=True)
+    total, count = 0.0, 0
+    for name in sorted(os.listdir(mask_dir)):
+        img = cv2.imread(os.path.join(mask_dir, name),
+                         cv2.IMREAD_GRAYSCALE)
+        if img is None:
+            continue
+        count += 1
+        t0 = time.time()
+        contours, _ = cv2.findContours(img, cv2.RETR_EXTERNAL,
+                                       cv2.CHAIN_APPROX_SIMPLE)
+        im = Image.new("L", (img.shape[1], img.shape[0]), 0)
+        for cnt in contours:
+            eps = alpha * cv2.arcLength(cnt, True)
+            approx = cv2.approxPolyDP(cnt, eps, True)
+            poly = [(int(p[0][0]), int(p[0][1])) for p in approx]
+            if len(poly) > 1:
+                ImageDraw.Draw(im).polygon(poly, outline=0, fill=255)
+        total += time.time() - t0
+        im.save(os.path.join(out_dir, name))
+    return total / max(count, 1)
+
+
+def visualize_results(results_json: str, img_dir: str, out_dir: str,
+                      vis_thresh: float = 0.3,
+                      id_to_file: Optional[Dict[int, str]] = None):
+    """Overlay results.json polygons on their source images
+    (ref vis_pred.py)."""
+    import cv2
+    from ..utils.debugger import Debugger
+
+    with open(results_json) as f:
+        rows = json.load(f)
+    per_img: Dict[int, list] = {}
+    for r in rows:
+        per_img.setdefault(int(r["image_id"]), []).append(r)
+
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for img_id, dets in per_img.items():
+        name = id_to_file[img_id] if id_to_file else f"{img_id}.png"
+        path = os.path.join(img_dir, name)
+        img = cv2.imread(path)
+        if img is None:
+            continue
+        dbg = Debugger(num_classes=32)
+        dbg.add_img(img, "vis")
+        for d in dets:
+            if d["score"] < vis_thresh:
+                continue
+            dbg.add_polydet(d["polygon"], d["category_id"], d["score"],
+                            img_id="vis")
+        out_path = os.path.join(out_dir,
+                                os.path.basename(name))
+        cv2.imwrite(out_path, dbg.imgs["vis"])
+        written.append(out_path)
+    return written

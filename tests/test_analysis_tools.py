@@ -1,0 +1,75 @@
+"""Offline analysis tools (ref src/tools/{eval_coco,calc_coco_overlap,
+postprocessing_disks,vis_pred}.py)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from centerpoly_tpu.tools.analysis import (
+    eval_coco_results, polygon_coverage, simplify_masks, visualize_results)
+
+from test_coco_eval import _make_gt
+
+
+def test_eval_coco_results(tmp_path):
+    gt = _make_gt(tmp_path)
+    data = json.load(open(gt))
+    rows = [{"image_id": a["image_id"], "category_id": a["category_id"],
+             "bbox": a["bbox"], "score": 0.9}
+            for a in data["annotations"]]
+    rj = tmp_path / "res.json"
+    json.dump(rows, open(rj, "w"))
+    res = eval_coco_results(gt, str(rj))
+    assert res["AP"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_polygon_coverage(tmp_path):
+    rng = np.random.RandomState(0)
+    images, anns = [], []
+    images.append({"id": 0, "file_name": "x.png",
+                   "height": 128, "width": 128})
+    ang = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+    poly = np.stack([64 + 30 * np.cos(ang), 64 + 30 * np.sin(ang)],
+                    -1).reshape(-1).tolist()
+    anns.append({"id": 0, "image_id": 0, "category_id": 1,
+                 "bbox": [34.0, 34.0, 60.0, 60.0],
+                 "segmentation": [poly], "area": 2800.0})
+    path = os.path.join(tmp_path, "gt.json")
+    json.dump({"images": images, "annotations": anns,
+               "categories": [{"id": 1, "name": "a"}]}, open(path, "w"))
+    res = polygon_coverage(path, n_points=16)
+    assert res["n"] == 1
+    # a 16-gon approximation of a 24-gon circle covers it well
+    assert res["mean_iou"] > 0.8
+
+
+def test_simplify_masks(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    mask_dir = tmp_path / "masks"
+    mask_dir.mkdir()
+    m = np.zeros((64, 64), np.uint8)
+    cv2.circle(m, (32, 32), 20, 255, -1)
+    cv2.imwrite(str(mask_dir / "m.png"), m)
+    out_dir = tmp_path / "out"
+    simplify_masks(str(mask_dir), str(out_dir))
+    out = cv2.imread(str(out_dir / "m.png"), cv2.IMREAD_GRAYSCALE)
+    inter = np.logical_and(out > 0, m > 0).sum()
+    union = np.logical_or(out > 0, m > 0).sum()
+    assert inter / union > 0.9
+
+
+def test_visualize_results(tmp_path):
+    cv2 = pytest.importorskip("cv2")
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "0.png"), np.zeros((64, 96, 3), np.uint8))
+    rows = [{"image_id": 0, "category_id": 1, "score": 0.9,
+             "polygon": [10, 10, 40, 10, 40, 40, 10, 40], "depth": 1.0}]
+    rj = tmp_path / "res.json"
+    json.dump(rows, open(rj, "w"))
+    written = visualize_results(str(rj), str(img_dir),
+                                str(tmp_path / "vis"))
+    assert len(written) == 1
+    out = cv2.imread(written[0])
+    assert out.sum() > 0
