@@ -107,3 +107,37 @@ def soft_nms_batch(boxes: jnp.ndarray, scores: jnp.ndarray,
         step, (scores, jnp.zeros(k, dtype=bool)), None, length=k
     )
     return jnp.where(out >= thresh, out, 0.0)
+
+
+def hard_nms_batch(boxes: jnp.ndarray, scores: jnp.ndarray,
+                   iou_thresh: float = 0.7) -> jnp.ndarray:
+    """Fixed-shape on-device hard box-NMS: keep mask (K,) bool.
+
+    Functional equivalent of the reference's CUDA bitmask kernel
+    (src/tools/voc_eval_lib/nms/nms_kernel.cu) expressed as a lax.scan
+    over score-sorted candidates: a box survives iff no higher-scored
+    surviving box overlaps it above `iou_thresh`.
+    """
+    k = scores.shape[0]
+    order = jnp.argsort(-scores)
+    b = boxes[order]
+
+    x1 = jnp.maximum(b[:, None, 0], b[None, :, 0])
+    y1 = jnp.maximum(b[:, None, 1], b[None, :, 1])
+    x2 = jnp.minimum(b[:, None, 2], b[None, :, 2])
+    y2 = jnp.minimum(b[:, None, 3], b[None, :, 3])
+    inter = jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0)
+    area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    ious = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-9)
+
+    def step(keep, i):
+        # suppressed iff any earlier kept box overlaps too much
+        earlier = jnp.arange(k) < i
+        sup = jnp.any(keep & earlier & (ious[i] > iou_thresh))
+        keep = keep.at[i].set(~sup)
+        return keep, None
+
+    keep_sorted, _ = jax.lax.scan(
+        step, jnp.ones(k, dtype=bool), jnp.arange(k))
+    # unsort back to the input order
+    return jnp.zeros(k, dtype=bool).at[order].set(keep_sorted)

@@ -178,3 +178,42 @@ class TestSoftNms:
                                         jnp.asarray(scores), thresh=0.0))
         np.testing.assert_allclose(np.sort(dev), np.sort(host[:, 4]),
                                    rtol=1e-4)
+
+
+def test_hard_nms_batch_matches_greedy():
+    import jax.numpy as jnp
+    from centerpoly_tpu.ops.nms import hard_nms_batch
+
+    rng = np.random.RandomState(0)
+    n = 32
+    centers = rng.rand(n, 2) * 100
+    wh = rng.rand(n, 2) * 20 + 5
+    boxes = np.concatenate([centers - wh / 2, centers + wh / 2],
+                           1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    keep = np.asarray(hard_nms_batch(jnp.asarray(boxes),
+                                     jnp.asarray(scores), 0.5))
+
+    def ref_nms(boxes, scores, t):
+        order = np.argsort(-scores)
+        kept = np.zeros(len(scores), bool)
+        chosen = []
+        for i in order:
+            ok = True
+            for j in chosen:
+                x1 = max(boxes[i, 0], boxes[j, 0])
+                y1 = max(boxes[i, 1], boxes[j, 1])
+                x2 = min(boxes[i, 2], boxes[j, 2])
+                y2 = min(boxes[i, 3], boxes[j, 3])
+                inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+                a1 = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+                a2 = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+                if inter / (a1 + a2 - inter) > t:
+                    ok = False
+                    break
+            if ok:
+                kept[i] = True
+                chosen.append(i)
+        return kept
+
+    assert (keep == ref_nms(boxes, scores, 0.5)).all()
