@@ -27,7 +27,12 @@ DATASET_INFO = {
         (0.042303, 0.040882, 0.042699),
     ),
     "IDD": (
-        (512, 1024), 8,
+        (512, 1024), 9,
+        (0.28405, 0.322669, 0.28169),
+        (0.042303, 0.040882, 0.042699),
+    ),
+    "idd": (
+        (512, 1024), 9,
         (0.28405, 0.322669, 0.28169),
         (0.042303, 0.040882, 0.042699),
     ),

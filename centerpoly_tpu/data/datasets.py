@@ -22,6 +22,9 @@ class DatasetMeta:
     eval_image_size = (1024, 2048)  # (h, w) of source frames
     # classes excluded from eval mask writing (ref cityscapes.py:242)
     eval_drop_classes = ("pole", "traffic sign", "traffic light")
+    # instance-eval label table (labelID -> name); None = cityscapes
+    instance_labels: Optional[Dict[int, str]] = None
+    void_ids: Optional[tuple] = None
 
     def __init__(self, data_root: str = "", nbr_points: int = 16):
         self.data_root = data_root
@@ -94,20 +97,28 @@ class KittiPolyMeta(DatasetMeta):
 
 
 class IDDMeta(DatasetMeta):
-    """Reference: dataset/IDD.py."""
+    """Reference: dataset/IDD.py:16-53 — 9 classes in the anue (IDD)
+    label-id space (IDDscripts/helpers/anue_labels.py)."""
     name = "IDD"
-    num_classes = 8
+    num_classes = 9
     default_resolution = (512, 1024)
     class_name = [
-        "__background__", "person", "rider", "car", "truck", "bus",
-        "motorcycle", "bicycle", "autorickshaw", "pole", "traffic sign",
-        "traffic light"]
-    label_to_id = {"person": 24, "rider": 25, "car": 26, "truck": 27,
-                   "bus": 28, "motorcycle": 32, "bicycle": 33,
-                   "autorickshaw": 40, "pole": -1, "traffic sign": -1,
-                   "traffic light": -1}
-    class_frequencies = CityscapesMeta.class_frequencies
+        "__background__", "person", "rider", "motorcycle", "bicycle",
+        "autorickshaw", "car", "truck", "bus", "vehicle fallback"]
+    label_to_id = {"person": 6, "rider": 8, "motorcycle": 9,
+                   "bicycle": 10, "autorickshaw": 11, "car": 12,
+                   "truck": 13, "bus": 14, "vehicle fallback": 18}
+    class_frequencies = {
+        "person": 0.15, "rider": 0.03, "car": 0.20, "truck": 0.03,
+        "bus": 0.03, "motorcycle": 0.03, "bicycle": 0.03,
+        "autorickshaw": 0.33, "vehicle fallback": 0.18}
     eval_image_size = (1080, 1920)
+    eval_drop_classes = ()
+    # anue instance labels (anue_labels.py hasInstances=True, non-ignored)
+    instance_labels = {6: "person", 8: "rider", 9: "motorcycle",
+                       10: "bicycle", 11: "autorickshaw", 12: "car",
+                       13: "truck", 14: "bus", 18: "vehicle fallback"}
+    void_ids = (35, 36, 37, 38, 39, 255, -1)
 
     def annot_path(self, split: str) -> str:
         base = os.path.join(self.data_root, "IDDStuff", "BBoxes")

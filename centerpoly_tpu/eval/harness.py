@@ -84,7 +84,12 @@ def run_instance_eval(meta, results: Dict, save_dir: str,
 
     keys = list(gt_images.keys())
     predictions = load_prediction_dir(res_dir, keys)
-    res = evaluate_instances(gt_images, predictions,
+    cfg = InstanceEvalConfig()
+    if getattr(meta, "instance_labels", None):
+        cfg.instance_labels = dict(meta.instance_labels)
+    if getattr(meta, "void_ids", None):
+        cfg.void_ids = tuple(meta.void_ids)
+    res = evaluate_instances(gt_images, predictions, cfg=cfg,
                              workers=min(4, os.cpu_count() or 1))
     res_path = os.path.join(save_dir, "instance_ap.json")
     with open(res_path, "w") as f:
@@ -95,10 +100,8 @@ def run_instance_eval(meta, results: Dict, save_dir: str,
     # repeated evals / external tools can skip re-scanning the GT pngs
     gti_path = os.path.join(save_dir, "gtInstances.json")
     if not os.path.exists(gti_path):
-        from .instance_eval import (
-            InstanceEvalConfig, gt_instances_from_image)
-        cfg_eval = InstanceEvalConfig()
-        cache = {k: gt_instances_from_image(np.asarray(v), cfg_eval)
+        from .instance_eval import gt_instances_from_image
+        cache = {k: gt_instances_from_image(np.asarray(v), cfg)
                  for k, v in gt_images.items()}
         with open(gti_path, "w") as f:
             json.dump(cache, f)
