@@ -15,12 +15,19 @@ therefore staged in HBM and the pipeline is timed with N dispatches and
 one fence, which is how a production server feeds a TPU (DMA + queued
 execution).
 
+IMPORTANT perf note for this TPU stack: every device array the compiled
+program needs is passed as a jit *argument* (variables, frame, transform,
+mean, std).  Closing over a jnp array embeds it as an XLA constant, which
+on this stack compiles pathologically and degrades every subsequent
+dispatch in the process ~100x (0.5 ms -> 40 ms measured).
+
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"};
 vs_baseline > 1 means faster than the reference's 0.045 s.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -29,6 +36,12 @@ BASELINE_S = 0.045  # reference README.md:9,46 (RTX 2070)
 
 
 def main():
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
     import jax
     import jax.numpy as jnp
 
@@ -47,10 +60,10 @@ def main():
     ]
     trans, meta = det.pre_process_meta(1024, 2048, 1.0)
     trans_dev = jax.device_put(jnp.asarray(trans, dtype=jnp.float32))
-    mean = jnp.asarray(cfg.mean, jnp.float32)
-    std = jnp.asarray(cfg.std, jnp.float32)
+    mean_dev = jax.device_put(jnp.asarray(cfg.mean, jnp.float32))
+    std_dev = jax.device_put(jnp.asarray(cfg.std, jnp.float32))
 
-    def pipeline(variables, frame_u8, trans):
+    def pipeline(variables, frame_u8, trans, mean, std):
         img = warp_axis_aligned(frame_u8.astype(jnp.float32), trans,
                                 (cfg.input_h, cfg.input_w))
         img = ((img / 255.0 - mean) / std)[None]
@@ -61,7 +74,7 @@ def main():
 
     # warmup / compile
     for f in frames:
-        out = fn(det.variables, f, trans_dev)
+        out = fn(det.variables, f, trans_dev, mean_dev, std_dev)
     jax.block_until_ready(out)
 
     # p50 over batched timing windows: dispatch N, fence once
@@ -70,7 +83,8 @@ def main():
     for _ in range(5):
         t0 = time.perf_counter()
         for i in range(n):
-            out = fn(det.variables, frames[i % len(frames)], trans_dev)
+            out = fn(det.variables, frames[i % len(frames)], trans_dev,
+                     mean_dev, std_dev)
         jax.block_until_ready(out)
         laps.append((time.perf_counter() - t0) / n)
     p50 = float(np.median(laps))

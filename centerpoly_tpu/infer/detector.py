@@ -91,6 +91,10 @@ class BaseDetector:
         self.model = create_model(
             cfg.arch, cfg.heads, cfg.head_conv,
             dtype=jnp.bfloat16 if cfg.mixed_precision else jnp.float32)
+        # NOTE: mean/std are jit *arguments*, never closed over — on this
+        # TPU stack a jitted program that embeds captured device arrays as
+        # constants compiles pathologically and degrades every subsequent
+        # dispatch in the process by ~100x (measured: 0.5ms -> 40ms).
         self.mean = jnp.asarray(cfg.mean, dtype=jnp.float32)
         self.std = jnp.asarray(cfg.std, dtype=jnp.float32)
         if variables is None and cfg.load_model:
@@ -131,13 +135,13 @@ class BaseDetector:
 
     # -- device programs -------------------------------------------------
 
-    def _pre_device(self, image_u8, trans):
+    def _pre_device(self, image_u8, trans, mean, std):
         """uint8 HWC source image -> normalized (1, in_h, in_w, 3)."""
         cfg = self.cfg
         img = image_u8.astype(jnp.float32)
         # inference transforms are rot=0 -> axis-aligned matmul warp
         warped = warp_axis_aligned(img, trans, (cfg.input_h, cfg.input_w))
-        out = (warped / 255.0 - self.mean) / self.std
+        out = (warped / 255.0 - mean) / std
         imgs = out[None]
         if cfg.flip_test:
             imgs = jnp.concatenate([imgs, imgs[:, :, ::-1, :]], axis=0)
@@ -203,7 +207,8 @@ class BaseDetector:
                 except ImportError:
                     pass
             img_dev = jnp.asarray(send)
-            images = self._pre_jit(img_dev, jnp.asarray(trans))
+            images = self._pre_jit(img_dev, jnp.asarray(trans),
+                                   self.mean, self.std)
             timer.stage("pre", fence=images)
 
             out, dets = self._proc_jit(self.variables, images)

@@ -133,8 +133,13 @@ class Trainer:
 
     def _decode_outputs(self, outs, batch) -> Optional[Dict]:
         """Decode a val batch's head maps into per-image results
-        (ref trains/polydet.py:220-237 save_result)."""
-        if self.cfg.task != "polydet" or "meta" not in batch:
+        (ref trains/polydet.py:220-237, trains/ctdet.py:137-150
+        save_result)."""
+        if "meta" not in batch:
+            return None
+        if self.cfg.task == "ctdet":
+            return self._decode_ctdet(outs, batch)
+        if self.cfg.task != "polydet":
             return None
         from ..ops.decode import polydet_decode
         from ..infer.detector import polydet_post_process
@@ -171,6 +176,27 @@ class Trainer:
             length = 5 + 2 * cfg.nbr_points + 1
             for j in range(1, cfg.num_classes + 1):
                 pp[j] = np.array(pp[j], np.float32).reshape(-1, length)
+            results[int(m["img_id"])] = pp
+        return results
+
+    def _decode_ctdet(self, outs, batch) -> Dict:
+        from ..ops.decode import ctdet_decode
+        from ..infer.detector import ctdet_post_process
+
+        cfg = self.cfg
+        hm = jax.nn.sigmoid(jnp.asarray(outs["hm"], jnp.float32))
+        dets = np.asarray(ctdet_decode(
+            hm, jnp.asarray(outs["wh"], jnp.float32),
+            reg=jnp.asarray(outs["reg"], jnp.float32)
+            if cfg.reg_offset else None,
+            k=cfg.K, cat_spec_wh=cfg.cat_spec_wh))
+        results = {}
+        for i, m in enumerate(batch["meta"]):
+            pp = ctdet_post_process(
+                dets[i:i + 1], [m["c"]], [m["s"]],
+                cfg.output_h, cfg.output_w, cfg.num_classes)[0]
+            for j in range(1, cfg.num_classes + 1):
+                pp[j] = np.array(pp[j], np.float32).reshape(-1, 5)
             results[int(m["img_id"])] = pp
         return results
 
