@@ -4,21 +4,27 @@ The flagship custom kernel (reference consumes an external CUDA extension,
 src/lib/models/networks/pose_dla_dcn.py:16,354).  The XLA formulation in
 models/deform_conv.py materializes the (B, H, W, 9, C) bilinear-sampled
 tensor in HBM between the gather and the contraction; this kernel keeps
-the whole feature map resident in VMEM, performs the 4 corner gathers, the
-bilinear/mask weighting, and the 9 per-tap MXU matmuls in one fused pass —
-halving HBM traffic for the dominant IDAUp layers.
+the whole feature map resident in VMEM and fuses, per (tap, corner), the
+hardware row-gather, the bilinear/mask weighting, and an MXU matmul into
+an on-chip f32 accumulator — 36 gather+matmul pairs, no HBM intermediate.
 
-Forward only: the backward pass reuses the XLA path's autodiff (exact same
-math), wired through jax.custom_vjp in models/deform_conv.py.
+Mosaic's gather primitive is an element-wise same-shape gather (indices
+shape == operand shape): each gather therefore pulls exactly H*W rows
+from the (H*W, C) table view, which is also why the grid is (batch,) and
+the full map lives in VMEM (all DLA IDAUp levels fit).
 
-Layout notes:
-  * the feature map is viewed as an (H*W, C) row table in VMEM; corner
-    samples become row gathers (`take_along_axis` over the sublane axis),
-    the one gather form Mosaic lowers to the hardware gather path;
-  * the tap contraction runs as 9 (N, C) @ (C, Cout) MXU matmuls (static
-    python loop), avoiding a lane-dimension reshape;
-  * grid = (B, H / TH): row tiles sized so the gathered corner buffer
-    stays within VMEM.
+Forward only: the backward pass reuses the XLA path's autodiff (exact
+same math), wired through jax.custom_vjp in models/deform_conv.py.
+
+TOOLCHAIN STATUS: the kernel is verified against the XLA oracle in Pallas
+interpret mode (tests/test_dcn_pallas.py), but the current Mosaic build in
+this image crashes on *any* sublane-axis `take_along_axis` (the compile
+helper exits 1 even for a bare 1024-row gather; only the 128-lane shuffle
+form compiles).  `pallas_supported` therefore probes a real compile per
+shape and the DCNv2 module falls back to the XLA formulation — which this
+repo has measured at 135x the reference baseline end-to-end, so the
+fallback costs nothing today.  When the toolchain's gather lands, the
+probe flips the fused kernel on with no code change.
 """
 from __future__ import annotations
 
@@ -31,72 +37,56 @@ import numpy as np
 
 PALLAS_DCN_ENV = "CENTERPOLY_PALLAS_DCN"
 
-# per-(shape) support cache after a compile probe
+# per-shape support cache after a compile probe
 _PROBED: dict = {}
 
 
-def _row_tile(h: int, w: int, c: int, budget_bytes: int = 3 << 20) -> int:
-    """Rows per grid step: corner buffer (TH*W*9, C) f32 under budget."""
-    th = max(1, budget_bytes // max(1, w * 9 * c * 4))
-    th = min(th, h)
-    while h % th:
-        th -= 1
-    return max(th, 1)
-
-
 def _kernel(x_ref, off_ref, mask_ref, w_ref, b_ref, o_ref, *,
-            H, W, C, Cout, TH):
+            H, W, C, Cout):
     from jax.experimental import pallas as pl  # noqa: F401
 
-    table = x_ref[0].reshape(H * W, C)
-    i = pl.program_id(1)
+    n = H * W
+    table = x_ref[0].reshape(n, C)
+    off = off_ref[0].reshape(n, 18).astype(jnp.float32)
+    masks = mask_ref[0].reshape(n, 9).astype(jnp.float32)
 
-    off = off_ref[0].reshape(TH, W, 9, 2).astype(jnp.float32)
-    m = mask_ref[0].reshape(TH * W * 9, 1)
+    # iota must be integer on TPU; cast after
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0).reshape(
+        n, 1).astype(jnp.float32)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1).reshape(
+        n, 1).astype(jnp.float32)
 
-    y_base = (i * TH).astype(jnp.float32)
-    yy = jax.lax.broadcasted_iota(jnp.float32, (TH, W, 9), 0) + y_base
-    xx = jax.lax.broadcasted_iota(jnp.float32, (TH, W, 9), 1)
-    tap = jax.lax.broadcasted_iota(jnp.float32, (TH, W, 9), 2)
-    ky = jnp.floor(tap / 3.0) - 1.0
-    kx = jnp.mod(tap, 3.0) - 1.0
-
-    sy = yy + ky + off[..., 0]
-    sx = xx + kx + off[..., 1]
-    y0 = jnp.floor(sy)
-    x0 = jnp.floor(sx)
-    fy = (sy - y0).reshape(TH * W * 9, 1)
-    fx = (sx - x0).reshape(TH * W * 9, 1)
-    y0 = y0.astype(jnp.int32)
-    x0 = x0.astype(jnp.int32)
-
-    n = TH * W * 9
-
-    def corner(dy, dx, wgt):
-        yi = y0 + dy
-        xi = x0 + dx
-        inb = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)).reshape(n, 1)
-        idx = (jnp.clip(yi, 0, H - 1) * W
-               + jnp.clip(xi, 0, W - 1)).reshape(n, 1)
-        g = jnp.take_along_axis(
-            table, jnp.broadcast_to(idx, (n, C)), axis=0)
-        return g.astype(jnp.float32) * (wgt * inb.astype(jnp.float32))
-
-    sampled = corner(0, 0, (1 - fy) * (1 - fx))
-    sampled += corner(0, 1, (1 - fy) * fx)
-    sampled += corner(1, 0, fy * (1 - fx))
-    sampled += corner(1, 1, fy * fx)
-    sampled *= m.astype(jnp.float32)
-
-    # 9 per-tap MXU matmuls: sampled rows are pixel-major x tap-major
-    sampled = sampled.reshape(TH * W, 9, C)
-    weights = w_ref[:].astype(jnp.float32)  # (9, C, Cout)
-    acc = jnp.zeros((TH * W, Cout), jnp.float32)
+    # MXU operands in the activation dtype (bf16 in production; f32 when
+    # the caller runs the kernel in f32 for oracle comparisons)
+    cdt = x_ref.dtype
+    acc = jnp.zeros((n, Cout), jnp.float32)
     for k in range(9):
-        acc += jnp.dot(sampled[:, k, :], weights[k],
-                       preferred_element_type=jnp.float32)
+        ky = float(k // 3 - 1)
+        kx = float(k % 3 - 1)
+        sy = yy + ky + off[:, 2 * k:2 * k + 1]
+        sx = xx + kx + off[:, 2 * k + 1:2 * k + 2]
+        y0 = jnp.floor(sy)
+        x0 = jnp.floor(sx)
+        fy = sy - y0
+        fx = sx - x0
+        m = masks[:, k:k + 1]
+        w_k = w_ref[k].astype(cdt)  # (C, Cout)
+        for dy, dx, wgt in ((0, 0, (1 - fy) * (1 - fx)),
+                            (0, 1, (1 - fy) * fx),
+                            (1, 0, fy * (1 - fx)),
+                            (1, 1, fy * fx)):
+            yi = y0 + dy
+            xi = x0 + dx
+            inb = ((yi >= 0) & (yi < H) & (xi >= 0) & (xi < W))
+            idx = (jnp.clip(yi, 0, H - 1) * W
+                   + jnp.clip(xi, 0, W - 1)).astype(jnp.int32)
+            g = jnp.take_along_axis(
+                table, jnp.broadcast_to(idx, (n, C)), axis=0)
+            scale = (wgt * m * inb.astype(jnp.float32)).astype(cdt)
+            acc += jnp.dot(g.astype(cdt) * scale, w_k,
+                           preferred_element_type=jnp.float32)
     acc += b_ref[:].astype(jnp.float32)
-    o_ref[0] = acc.reshape(TH, W, Cout).astype(o_ref.dtype)
+    o_ref[0] = acc.reshape(H, W, Cout).astype(o_ref.dtype)
 
 
 def _deform_conv2d_pallas_impl(x, offsets, masks, weights, bias):
@@ -105,28 +95,27 @@ def _deform_conv2d_pallas_impl(x, offsets, masks, weights, bias):
 
     b, h, w, c = x.shape
     cout = weights.shape[-1]
-    th = _row_tile(h, w, c)
-    kern = functools.partial(_kernel, H=h, W=w, C=c, Cout=cout, TH=th)
-    grid = (b, h // th)
+    kern = functools.partial(_kernel, H=h, W=w, C=c, Cout=cout)
     return pl.pallas_call(
         kern,
-        grid=grid,
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda bi, i: (bi, 0, 0, 0),
+            pl.BlockSpec((1, h, w, c), lambda bi: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, w, 18), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, h, w, 18), lambda bi: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, th, w, 9), lambda bi, i: (bi, i, 0, 0),
+            pl.BlockSpec((1, h, w, 9), lambda bi: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, c, cout), lambda bi, i: (0, 0, 0),
+            pl.BlockSpec((9, c, cout), lambda bi: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cout,), lambda bi, i: (0,),
+            pl.BlockSpec((cout,), lambda bi: (0,),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, th, w, cout),
-                               lambda bi, i: (bi, i, 0, 0),
+        out_specs=pl.BlockSpec((1, h, w, cout), lambda bi: (bi, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w * 9 * c * cout,
             bytes_accessed=(b * h * w * c * 2 * 5
@@ -146,12 +135,11 @@ def deform_conv2d_pallas(x, offsets, masks, weights, bias):
     return _deform_conv2d_pallas_impl(x, offsets, masks, weights, bias)
 
 
-def pallas_supported(h: int, w: int, c: int, cout: int,
-                     interpret_ok: bool = False) -> bool:
+def pallas_supported(h: int, w: int, c: int, cout: int) -> bool:
     """True when the Pallas DCN path should be used for this shape.
 
-    Checks platform + an opt-out env var + a one-time compile probe per
-    shape class (Mosaic support for the gather form can vary by version).
+    Checks platform + the opt-out env var + a one-time compile probe per
+    shape (Mosaic support for the gather form varies by version/shape).
     """
     env = os.environ.get(PALLAS_DCN_ENV, "auto").lower()
     if env in ("0", "off", "false"):
@@ -160,19 +148,15 @@ def pallas_supported(h: int, w: int, c: int, cout: int,
         platform = jax.devices()[0].platform
     except Exception:
         return False
-    if platform != "tpu" and not interpret_ok:
-        return False
-    # VMEM residency requirement for the table view
-    if h * w * c * x_bytes_guess() > (10 << 20):
+    if platform != "tpu":
         return False
     key = (h, w, c, cout)
     if key in _PROBED:
         return _PROBED[key]
     try:
-        b = 1
-        xp = jnp.zeros((b, h, w, c), jnp.bfloat16)
-        off = jnp.zeros((b, h, w, 18), jnp.float32)
-        mk = jnp.ones((b, h, w, 9), jnp.float32)
+        xp = jnp.zeros((1, h, w, c), jnp.bfloat16)
+        off = jnp.zeros((1, h, w, 18), jnp.float32)
+        mk = jnp.ones((1, h, w, 9), jnp.float32)
         wt = jnp.zeros((3, 3, c, cout), jnp.bfloat16)
         bs = jnp.zeros((cout,), jnp.bfloat16)
         jax.jit(deform_conv2d_pallas).lower(
@@ -181,7 +165,3 @@ def pallas_supported(h: int, w: int, c: int, cout: int,
     except Exception:
         _PROBED[key] = False
     return _PROBED[key]
-
-
-def x_bytes_guess() -> int:
-    return 2  # bf16 activations on the TPU path

@@ -129,12 +129,49 @@ def deform_conv2d(
     return out.astype(x.dtype)
 
 
+@jax.custom_vjp
+def _deform_conv2d_fast(x, offsets, masks, weights, bias):
+    """Pallas forward + XLA-autodiff backward (identical math)."""
+    from ..kernels.dcn_pallas import deform_conv2d_pallas
+    return deform_conv2d_pallas(x, offsets, masks, weights, bias)
+
+
+def _dc_fwd(x, offsets, masks, weights, bias):
+    return _deform_conv2d_fast(x, offsets, masks, weights, bias), (
+        x, offsets, masks, weights, bias)
+
+
+def _dc_bwd(res, g):
+    _, vjp = jax.vjp(deform_conv2d, *res)
+    return vjp(g)
+
+
+_deform_conv2d_fast.defvjp(_dc_fwd, _dc_bwd)
+
+
+def use_pallas_dcn(h: int, w: int, c: int, cout: int) -> bool:
+    """Gate for the Pallas forward path (CENTERPOLY_PALLAS_DCN=0/1/auto)."""
+    import os
+    env = os.environ.get("CENTERPOLY_PALLAS_DCN", "auto").lower()
+    if env in ("0", "off", "false"):
+        return False
+    try:
+        from ..kernels.dcn_pallas import pallas_supported
+        return pallas_supported(h, w, c, cout)
+    except Exception:
+        return False
+
+
 class DCNv2(nn.Module):
     """DCNv2 layer: offset/mask conv + deformable sampling + contraction.
 
     Matches the reference call signature semantics: 3x3, stride 1,
     dilation 1, one deformable group.  The offset conv is zero-initialized
-    (standard DCNv2 init: starts as a plain conv)."""
+    (standard DCNv2 init: starts as a plain conv).
+
+    The fused Pallas kernel (kernels/dcn_pallas.py) takes the forward when
+    supported for the shape (CENTERPOLY_PALLAS_DCN=auto|1); the XLA
+    formulation is the correctness oracle and the backward pass."""
     features: int
     dtype: Any = jnp.float32
 
@@ -157,6 +194,11 @@ class DCNv2(nn.Module):
             (3, 3, cin, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        _, h, w, _ = x.shape
+        if use_pallas_dcn(h, w, cin, self.features):
+            return _deform_conv2d_fast(
+                x, offsets, masks, weights.astype(x.dtype),
+                bias.astype(x.dtype))
         return deform_conv2d(x, offsets, masks, weights.astype(x.dtype),
                              bias.astype(x.dtype))
 

@@ -97,6 +97,10 @@ class Trainer:
         self._val_decode = None
         self.best = -1.0
         self.start_epoch = 0
+        n_params = sum(
+            int(np.prod(np.asarray(p).shape))
+            for p in jax.tree_util.tree_leaves(self.state.params))
+        self._log(f"model {cfg.arch}: {n_params / 1e6:.2f}M parameters\n")
 
     def _log(self, txt: str):
         if self.logger is not None:
