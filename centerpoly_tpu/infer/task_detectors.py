@@ -146,6 +146,15 @@ def multi_pose_post_process(dets: np.ndarray, c, s, out_h: int, out_w: int
     return ret
 
 
+def _flip_joint_perm(num_joints: int = 17) -> np.ndarray:
+    """COCO left/right joint swap permutation (ref opts flip_idx)."""
+    from ..data.multi_pose_sampler import FLIP_IDX
+    perm = np.arange(num_joints)
+    for a, b in FLIP_IDX:
+        perm[a], perm[b] = perm[b], perm[a]
+    return perm
+
+
 class MultiPoseDetector(BaseDetector):
     """Human-pose detector (ref detectors/multi_pose.py)."""
 
@@ -161,11 +170,21 @@ class MultiPoseDetector(BaseDetector):
         hp_offset = out["hp_offset"].astype(jnp.float32) \
             if cfg.reg_hp_offset else None
         if cfg.flip_test:
+            perm = jnp.asarray(_flip_joint_perm(hps.shape[-1] // 2))
             hm = (hm[0:1] + hm[1:2, :, ::-1, :]) / 2
             wh = (wh[0:1] + wh[1:2, :, ::-1, :]) / 2
-            hps = hps[0:1]
-            hm_hp = (hm_hp[0:1] + hm_hp[1:2, :, ::-1, :]) / 2 \
-                if hm_hp is not None else None
+            # flip_lr_off (ref models/utils.py:39-50): mirror spatially,
+            # negate x offsets, swap left/right joint channels
+            hf = hps[1:2, :, ::-1, :].reshape(
+                1, hps.shape[1], hps.shape[2], -1, 2)
+            hf = hf.at[..., 0].multiply(-1.0)
+            hf = hf[:, :, :, perm, :].reshape(1, hps.shape[1],
+                                              hps.shape[2], -1)
+            hps = (hps[0:1] + hf) / 2
+            if hm_hp is not None:
+                # flip_lr (ref models/utils.py:28-37)
+                hm_hp = (hm_hp[0:1]
+                         + hm_hp[1:2, :, ::-1, :][..., perm]) / 2
             reg = reg[0:1] if reg is not None else None
             hp_offset = hp_offset[0:1] if hp_offset is not None else None
         dets = multi_pose_decode(hm, wh, hps, reg=reg, hm_hp=hm_hp,
