@@ -152,6 +152,11 @@ class Config:
     rotate: float = 0.0            # multi_pose max rotation (degrees)
     aug_ddd: float = 0.5           # ddd scale/shift aug probability
 
+    # debug visualization (ref opts.py:19-24): 0 = off, 1/2 = compose
+    # overlay + heatmap views, 4 = save all views to debug_dir
+    debug: int = 0
+    debug_dir: str = "debug"
+
     # test
     test_scales: Tuple[float, ...] = (1.0,)
     nms: bool = False

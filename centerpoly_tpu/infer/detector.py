@@ -221,10 +221,41 @@ class BaseDetector:
 
         results = self.merge_outputs(detections)
         timer.stage("merge")
+        if self.cfg.debug > 0:
+            self._debug_views(image, np.asarray(images), out, results)
         times = timer.times
         tot = sum(times.values())
         return {"results": results, "tot": tot, **{k: times.get(k, 0.0) for k
                 in ("load", "pre", "net", "dec", "post", "merge")}}
+
+    def _debug_views(self, image, images, out, results):
+        """Compose debug overlays (ref base_detector debug flow +
+        detectors/polydet.py:78-100): heatmap blend + detections; level 4
+        saves all views to cfg.debug_dir."""
+        from ..utils.debugger import Debugger
+
+        cfg = self.cfg
+        dbg = Debugger(num_classes=self.num_classes,
+                       class_names=None, down_ratio=cfg.down_ratio)
+        img = ((images[0] * np.asarray(cfg.std) + np.asarray(cfg.mean))
+               * 255.0)
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        hm = np.asarray(
+            jax.nn.sigmoid(out["hm"].astype(jnp.float32))[0])
+        dbg.add_blend_img(img, dbg.gen_colormap(hm), "pred_hm")
+        dbg.add_img(image.astype(np.uint8), img_id="detections")
+        for j, rows in results.items():
+            for row in np.asarray(rows):
+                if row[4] > cfg.vis_thresh:
+                    if len(row) > 6:
+                        dbg.add_polydet(row[5:-1], int(j) - 1, row[4],
+                                        img_id="detections")
+                    else:
+                        dbg.add_coco_bbox(row[:4], int(j) - 1, row[4],
+                                          img_id="detections")
+        if cfg.debug >= 4:
+            dbg.save_all_imgs(cfg.debug_dir)
+        self.debugger = dbg
 
     def merge_outputs(self, detections):
         """Concat scales + optional soft-NMS + global top-K score cut

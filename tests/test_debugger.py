@@ -68,3 +68,19 @@ class TestRunOnCsv:
         assert first[0] == img_path
         # path + bbox4 + label + score + 32 poly coords
         assert len(first) == 1 + 4 + 1 + 1 + 32
+
+
+class TestDetectorDebug:
+    def test_debug_level_4_saves_views(self, tmp_path):
+        from centerpoly_tpu.configs import Config
+        from centerpoly_tpu.infer.detector import PolydetDetector
+
+        cfg = Config(task="polydet", dataset="cityscapes", arch="res_18",
+                     input_h=64, input_w=64, K=8, debug=4,
+                     debug_dir=str(tmp_path / "dbg"), vis_thresh=0.0)
+        det = PolydetDetector(cfg)
+        img = (np.random.RandomState(0).rand(96, 128, 3) * 255).astype(
+            np.uint8)
+        det.run(img)
+        assert (tmp_path / "dbg" / "pred_hm.png").exists()
+        assert (tmp_path / "dbg" / "detections.png").exists()
