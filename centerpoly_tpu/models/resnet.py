@@ -88,21 +88,27 @@ class ResNetDet(nn.Module):
         block, layers = RESNET_SPECS[self.num_layers]
         x = ConvBN(64, kernel=7, stride=2, dtype=self.dtype,
                    name="stem")(x, train)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="SAME")
+        # torch MaxPool2d(3, 2, padding=1): symmetric padding, not "SAME"
+        # (SAME pads (0,1) at stride 2, shifting the grid one pixel)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
         for stage, (n_blocks, feats) in enumerate(
                 zip(layers, (64, 128, 256, 512))):
             for i in range(n_blocks):
                 stride = 2 if (i == 0 and stage > 0) else 1
                 x = block(feats, stride=stride, dtype=self.dtype,
                           name=f"layer{stage + 1}_{i}")(x, train)
-        for i in range(3):
+        # deconv widths: msra_resnet.py:126-130 uses [256, 256, 256];
+        # resnet_dcn.py:149-153 narrows to [256, 128, 64]
+        widths = (256, 128, 64) if self.use_dcn else (256, 256, 256)
+        for i, feats in enumerate(widths):
             if self.use_dcn:
-                x = DCNv2(256, dtype=self.dtype, name=f"dcn_{i}")(x)
+                x = DCNv2(feats, dtype=self.dtype, name=f"dcn_{i}")(x)
                 x = nn.BatchNorm(use_running_average=not train,
                                  momentum=BN_MOMENTUM, dtype=self.dtype,
                                  name=f"dcn_bn_{i}")(x)
                 x = nn.relu(x)
-            x = Deconv(256, dtype=self.dtype, name=f"deconv_{i}")(x, train)
+            x = Deconv(feats, dtype=self.dtype, name=f"deconv_{i}")(x, train)
         z = HeadStack(self.heads, self.head_conv, dtype=self.dtype,
                       name="heads")(x)
         return [z]

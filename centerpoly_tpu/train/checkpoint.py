@@ -94,6 +94,13 @@ def torch_deconv_to_flax_depthwise(w: np.ndarray) -> np.ndarray:
     return np.transpose(w, (1, 2, 0))[:, :, None, :]
 
 
+def torch_deconv_to_flax(w: np.ndarray) -> np.ndarray:
+    """Dense ConvTranspose2d weight (Cin, Cout, k, k) -> flax ConvTranspose
+    kernel (k, k, Cin, Cout), spatially flipped (verified equivalent for
+    the k=4/s=2/p=1 <-> SAME configuration used by the deconv stages)."""
+    return np.transpose(w[:, :, ::-1, ::-1], (2, 3, 0, 1))
+
+
 def flatten_params(tree, prefix="") -> Dict[str, np.ndarray]:
     out = {}
     for k, v in tree.items():
@@ -152,6 +159,8 @@ def import_torch_state_dict(
             tv = torch_conv_to_flax(tv)
         elif kind == "deconv_dw":
             tv = torch_deconv_to_flax_depthwise(tv)
+        elif kind == "deconv":
+            tv = torch_deconv_to_flax(tv)
         target = flat_b if kind in ("bn_mean", "bn_var") else flat_p
         if fk not in target:
             skipped.append(tk)

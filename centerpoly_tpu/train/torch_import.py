@@ -249,11 +249,98 @@ def hourglass_name_map(tk: str) -> MapResult:
     return None
 
 
+def _resnet_block_leaf(prefix: str, rest: str) -> MapResult:
+    """torch BasicBlock/Bottleneck path inside a resnet layer."""
+    m = re.match(r"conv([123])\.weight$", rest)
+    if m:
+        return (f"{prefix}/ConvBN_{int(m.group(1)) - 1}/Conv_0/kernel",
+                "conv")
+    m = re.match(r"bn([123])\.(\w+)$", rest)
+    if m:
+        return _bn(f"{prefix}/ConvBN_{int(m.group(1)) - 1}/BatchNorm_0",
+                   m.group(2))
+    if rest == "downsample.0.weight":
+        return f"{prefix}/downsample/Conv_0/kernel", "conv"
+    m = re.match(r"downsample\.1\.(\w+)$", rest)
+    if m:
+        return _bn(f"{prefix}/downsample/BatchNorm_0", m.group(1))
+    return None
+
+
+def _resnet_name_map(tk: str, use_dcn: bool) -> MapResult:
+    """torch key (PoseResNet, msra_resnet.py:107-280 / resnet_dcn.py) ->
+    (flax key, kind) for models.resnet.ResNetDet."""
+    if tk == "conv1.weight":
+        return "stem/Conv_0/kernel", "conv"
+    m = re.match(r"bn1\.(\w+)$", tk)
+    if m:
+        return _bn("stem/BatchNorm_0", m.group(1))
+    m = re.match(r"layer(\d)\.(\d+)\.(.*)$", tk)
+    if m:
+        return _resnet_block_leaf(f"layer{m.group(1)}_{m.group(2)}",
+                                  m.group(3))
+    m = re.match(r"deconv_layers\.(\d+)\.(.*)$", tk)
+    if m:
+        idx, rest = int(m.group(1)), m.group(2)
+        if use_dcn:
+            # resnet_dcn: 6 modules per stage
+            # [DCN, BN, ReLU, ConvTranspose, BN, ReLU] (resnet_dcn.py:216-243)
+            stage, pos = divmod(idx, 6)
+            if pos == 0:
+                if rest == "weight":
+                    return f"dcn_{stage}/kernel", "conv"
+                if rest == "bias":
+                    return f"dcn_{stage}/bias", "raw"
+                if rest == "conv_offset_mask.weight":
+                    return f"dcn_{stage}/conv_offset_mask/kernel", "conv"
+                if rest == "conv_offset_mask.bias":
+                    return f"dcn_{stage}/conv_offset_mask/bias", "raw"
+                return None
+            if pos == 1:
+                return _bn(f"dcn_bn_{stage}", rest)
+            if pos == 3 and rest == "weight":
+                return (f"deconv_{stage}/ConvTranspose_0/kernel", "deconv")
+            if pos == 4:
+                return _bn(f"deconv_{stage}/BatchNorm_0", rest)
+            return None
+        # msra_resnet: 3 modules per stage [ConvTranspose, BN, ReLU]
+        stage, pos = divmod(idx, 3)
+        if pos == 0 and rest == "weight":
+            return f"deconv_{stage}/ConvTranspose_0/kernel", "deconv"
+        if pos == 1:
+            return _bn(f"deconv_{stage}/BatchNorm_0", rest)
+        return None
+    # heads: Sequential(conv3x3, relu, conv1x1) per head (:135-150)
+    m = re.match(r"(\w+)\.0\.(weight|bias)$", tk)
+    if m:
+        kind = "conv" if m.group(2) == "weight" else "raw"
+        leaf = "kernel" if kind == "conv" else "bias"
+        return f"heads/{m.group(1)}_conv/{leaf}", kind
+    m = re.match(r"(\w+)\.2\.(weight|bias)$", tk)
+    if m:
+        kind = "conv" if m.group(2) == "weight" else "raw"
+        leaf = "kernel" if kind == "conv" else "bias"
+        return f"heads/{m.group(1)}_out/{leaf}", kind
+    return None
+
+
+def resnet_name_map(tk: str) -> MapResult:
+    return _resnet_name_map(tk, use_dcn=False)
+
+
+def resdcn_name_map(tk: str) -> MapResult:
+    return _resnet_name_map(tk, use_dcn=True)
+
+
 NAME_MAPS = {
     "dla_34": dla_name_map,
     "dlav0_34": dla_name_map,
     "hourglass": hourglass_name_map,
     "smallhourglass": hourglass_name_map,
+    "res_18": resnet_name_map,
+    "res_101": resnet_name_map,
+    "resdcn_18": resdcn_name_map,
+    "resdcn_101": resdcn_name_map,
 }
 
 

@@ -107,3 +107,25 @@ def build_ref_hourglass(heads, num_stacks=1):
 
 def state_dict_numpy(net):
     return {k: v.detach().numpy() for k, v in net.state_dict().items()}
+
+
+def build_ref_resnet(heads, num_layers=18, head_conv=64):
+    """Reference msra_resnet PoseResNet (src/lib/models/networks/
+    msra_resnet.py:275-280), no pretrained download."""
+    _install_stubs()
+    import models.networks.msra_resnet as R
+    block, layers = R.resnet_spec[num_layers]
+    net = R.PoseResNet(block, layers, heads, head_conv=head_conv)
+    net.eval()
+    return net
+
+
+def build_ref_resdcn(heads, num_layers=18, head_conv=64):
+    """Reference resnet_dcn PoseResNet (src/lib/models/networks/
+    resnet_dcn.py) with the pure-torch DCN stub."""
+    _install_stubs()
+    import models.networks.resnet_dcn as R
+    block, layers = R.resnet_spec[num_layers]
+    net = R.PoseResNet(block, layers, heads, head_conv=head_conv)
+    net.eval()
+    return net

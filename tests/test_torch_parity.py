@@ -102,3 +102,21 @@ def test_hourglass_import_parity():
     net = _randomize_torch(build_ref_hourglass(HEADS, num_stacks=1), seed=2)
     x = np.random.RandomState(1).randn(1, 3, 128, 256).astype(np.float32)
     _import_and_compare(net, "smallhourglass", x, atol=2e-3)
+
+
+def test_resnet18_import_parity():
+    from helpers.torch_ref import build_ref_resnet
+
+    net = _randomize_torch(
+        build_ref_resnet(HEADS, num_layers=18, head_conv=256), seed=3)
+    x = np.random.RandomState(2).randn(1, 3, 64, 128).astype(np.float32)
+    _import_and_compare(net, "res_18", x, atol=2e-3)
+
+
+def test_resdcn18_import_parity():
+    from helpers.torch_ref import build_ref_resdcn
+
+    net = _randomize_torch(
+        build_ref_resdcn(HEADS, num_layers=18, head_conv=256), seed=4)
+    x = np.random.RandomState(3).randn(1, 3, 64, 128).astype(np.float32)
+    _import_and_compare(net, "resdcn_18", x, atol=2e-3)
