@@ -98,6 +98,7 @@ class Config:
     nbr_points: int = 16
     cat_spec_poly: bool = False
     cat_spec_wh: bool = False
+    dense_poly: bool = False
     reg_offset: bool = True
 
     # input

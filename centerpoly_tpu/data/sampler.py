@@ -22,7 +22,8 @@ import numpy as np
 
 from ..geometry.affine import get_affine_transform, affine_transform_points
 from ..geometry.gaussian import (
-    gaussian_radius, splat_gaussian, splat_ellipse_gaussian)
+    gaussian_radius, splat_gaussian, splat_ellipse_gaussian,
+    draw_dense_reg)
 from .coco_poly import CocoPolyAnnotations
 
 # Cityscapes PCA color-aug eigen decomposition (ref dataset/cityscapes.py:101-107)
@@ -114,6 +115,29 @@ class PolydetSampler:
         r = np.random.RandomState(img_id % (2 ** 31))
         return (r.rand(h, w, 3) * 255).astype(np.uint8)
 
+    def _fg_mask(self, img_id: int, output_h: int,
+                 output_w: int) -> np.ndarray:
+        """Binary foreground map from the instance-id image
+        (ref sample/polydet.py:70-74,153-154 — path substitution
+        leftImg8bit -> gtFine_instanceIds); zeros when unavailable."""
+        fg = np.zeros((output_h, output_w, 1), np.float32)
+        info = self.coco.load_img(img_id)
+        name = info.get("file_name", "")
+        inst_path = name.replace("leftImg8bit", "gtFine_instanceIds")
+        path = os.path.join(self.img_dir or "", inst_path)
+        if inst_path != name and os.path.isfile(path):
+            try:
+                import cv2
+                m = cv2.imread(path, -1)
+                if m is not None:
+                    m = cv2.resize(m.astype(np.float32),
+                                   (output_w, output_h),
+                                   interpolation=cv2.INTER_NEAREST)
+                    fg[:, :, 0] = (m != 0).astype(np.float32)
+            except ImportError:
+                pass
+        return fg
+
     def __call__(self, index: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         rng = self.rng
@@ -170,8 +194,15 @@ class PolydetSampler:
 
         hm = np.zeros((output_h, output_w, num_classes), np.float32)
         wh = np.zeros((cfg.max_objs, 2), np.float32)
+        border_hm = np.zeros((output_h, output_w, 1), np.float32)
         pseudo_depth = np.zeros((cfg.max_objs, 1), np.float32)
         poly = np.zeros((cfg.max_objs, num_points * 2), np.float32)
+        dense_poly = np.zeros((output_h, output_w, num_points * 2),
+                              np.float32)
+        cat_spec_poly = np.zeros(
+            (cfg.max_objs, num_classes * num_points * 2), np.float32)
+        cat_spec_mask = np.zeros(
+            (cfg.max_objs, num_classes * num_points * 2), np.float32)
         reg = np.zeros((cfg.max_objs, 2), np.float32)
         ind = np.zeros((cfg.max_objs,), np.int32)
         peak = np.zeros((cfg.max_objs, 2), np.float32)
@@ -228,6 +259,10 @@ class PolydetSampler:
                 splat_gaussian(hm[:, :, cls_id], ct_int, radius)
 
             wh[k] = w, h
+            # border heatmap: a gaussian at every GT vertex (ref :234-236)
+            for vx, vy in v:
+                splat_gaussian(border_hm[:, :, 0],
+                               (int(vx), int(vy)), radius)
             d = v - ct[None, :]
             if cfg.rep == "cartesian":
                 poly[k] = d.reshape(-1)
@@ -239,6 +274,16 @@ class PolydetSampler:
                                  np.where(y < 0, theta + 2 * np.pi, theta))
                 poly[k, 0::2] = r
                 poly[k, 1::2] = theta
+            if cfg.cat_spec_poly:
+                # per-class polygon channels (ref :245-248, 288-291)
+                base = cls_id * num_points * 2
+                cat_spec_poly[k, base:base + num_points * 2] = poly[k]
+                cat_spec_mask[k, base:base + num_points * 2] = 1
+            if cfg.dense_poly:
+                # splat the vertex vector where this object's gaussian
+                # dominates (ref :401-406)
+                draw_dense_reg(dense_poly, hm.max(axis=2), ct_int,
+                               poly[k], radius)
 
             peak[k] = ct
             ind[k] = ct_int[1] * output_w + ct_int[0]
@@ -266,7 +311,17 @@ class PolydetSampler:
             "wh": wh,
             "peak": peak,
             "freq_mask": np.float32(freq_mean),
+            "border_hm": border_hm,
+            "fg": self._fg_mask(img_id, output_h, output_w),
         }
+        if cfg.cat_spec_poly:
+            ret["cat_spec_poly"] = cat_spec_poly
+            ret["cat_spec_mask"] = cat_spec_mask
+        if cfg.dense_poly:
+            mask_dense = (dense_poly != 0).astype(np.float32)
+            ret["dense_poly"] = dense_poly
+            ret["dense_poly_mask"] = mask_dense
+            del ret["poly"]
         if cfg.reg_offset:
             ret["reg"] = reg
         if self.split != "train":

@@ -198,3 +198,40 @@ class TestLoaderWorkers:
                 if k == "meta":
                     continue
                 np.testing.assert_allclose(ba[k], bb[k], rtol=1e-6)
+
+
+class TestAuxTargets:
+    def _sample(self, tmp_path, **kw):
+        path = synthetic_coco(tmp_path)
+        cfg = Config(task="polydet", dataset="cityscapes",
+                     input_h=128, input_w=256, **kw)
+        meta = CityscapesMeta(str(tmp_path))
+        return PolydetSampler(cfg, meta, CocoPolyAnnotations(path),
+                              split="train")(0), cfg
+
+    def test_border_hm_and_fg(self, tmp_path):
+        s, cfg = self._sample(tmp_path)
+        assert s["border_hm"].shape == (cfg.output_h, cfg.output_w, 1)
+        assert s["border_hm"].max() == pytest.approx(1.0)
+        assert s["fg"].shape == (cfg.output_h, cfg.output_w, 1)
+
+    def test_cat_spec_poly(self, tmp_path):
+        s, cfg = self._sample(tmp_path, cat_spec_poly=True)
+        n2 = cfg.nbr_points * 2
+        assert s["cat_spec_poly"].shape == (cfg.max_objs,
+                                            cfg.num_classes * n2)
+        k = int(np.argmax(s["reg_mask"]))
+        # fixture objects are class index 2 (category 3)
+        base = 2 * n2
+        np.testing.assert_allclose(
+            s["cat_spec_poly"][k, base:base + n2], s["poly"][k])
+        assert s["cat_spec_mask"][k, base:base + n2].all()
+
+    def test_dense_poly(self, tmp_path):
+        s, cfg = self._sample(tmp_path, dense_poly=True)
+        n2 = cfg.nbr_points * 2
+        assert "poly" not in s
+        assert s["dense_poly"].shape == (cfg.output_h, cfg.output_w, n2)
+        assert s["dense_poly_mask"].max() == 1.0
+        # the dense map carries vertex vectors at annotated centers
+        assert np.abs(s["dense_poly"]).max() > 0
