@@ -304,6 +304,25 @@ class Kitti2dMeta(KittiMeta):
     """Reference: dataset/kitti2d.py — 2D boxes on KITTI (ctdet task)."""
     name = "kitti2d"
 
+    def write_kitti_results(self, results, results_dir: str,
+                            id_to_file=None):
+        """2D rows [x0, y0, x1, y1, score] -> KITTI txt lines with the
+        3D fields stubbed (ref kitti2d.py:94-112)."""
+        os.makedirs(results_dir, exist_ok=True)
+        for img_id, per_class in results.items():
+            name = f"{int(img_id):06d}.txt" if id_to_file is None \
+                else id_to_file[int(img_id)]
+            with open(os.path.join(results_dir, name), "w") as f:
+                for cls_ind in per_class:
+                    cls_name = self.class_name[int(cls_ind)]
+                    for row in per_class[cls_ind]:
+                        x0, y0, x1, y1, score = [float(v)
+                                                 for v in row[:5]]
+                        f.write(
+                            f"{cls_name} 0.0 0.0 0.0 {x0:.2f} {y0:.2f} "
+                            f"{x1:.2f} {y1:.2f} -1 -1 -1 -1000 -1000 "
+                            f"-1000 -10 {score:.2f}\n")
+
 
 class UADetracMeta(DatasetMeta):
     """Reference: dataset/uadetrac.py — 4-class vehicle detection."""

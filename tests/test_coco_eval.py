@@ -114,3 +114,26 @@ class TestNewAdapters:
         meta.write_kitti_results({0: {2: rows}}, str(tmp_path / "out"))
         txt = (tmp_path / "out" / "000000.txt").read_text()
         assert txt.startswith("Car 0.0 0 0.50 100.00")
+
+
+def test_kitti2d_writer_and_native_eval(tmp_path):
+    """kitti2d 2D rows round-trip through the native evaluator."""
+    from centerpoly_tpu.eval.native import run_kitti_eval, ensure_built
+    if not ensure_built():
+        pytest.skip("native toolchain unavailable")
+    meta = DATASETS["kitti2d"](str(tmp_path))
+    gt_dir = tmp_path / "gt"
+    gt_dir.mkdir()
+    results = {}
+    for i in range(45):
+        with open(gt_dir / f"{i:06d}.txt", "w") as f:
+            f.write("Car 0.0 0 0.5 100 100 200 180 "
+                    "1.5 1.7 4.0 1.0 1.6 10.0 0.3\n")
+        results[i] = {2: np.array([[100, 100, 200, 180, 0.9]],
+                                  np.float32)}
+    res_dir = tmp_path / "out" / "results"
+    meta.write_kitti_results(results, str(res_dir))
+    txt = (res_dir / "000000.txt").read_text()
+    assert txt.startswith("Car 0.0 0.0 0.0 100.00 100.00 200.00 180.00")
+    res = run_kitti_eval(str(gt_dir), str(res_dir))
+    assert res["car"]["detection"][0] == pytest.approx(100.0, abs=1e-4)
