@@ -40,6 +40,10 @@ DATASET_INFO = {
     "pascal": ((384, 384), 20, (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
     "kitti": ((384, 1280), 3, (0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
     "uadetrac": ((512, 512), 4, (0.408, 0.447, 0.470), (0.289, 0.274, 0.278)),
+    "uadetrac1on10": ((512, 512), 4, (0.408, 0.447, 0.470),
+                      (0.289, 0.274, 0.278)),
+    "uadetrac1on10_b": ((512, 512), 4, (0.408, 0.447, 0.470),
+                        (0.289, 0.274, 0.278)),
     "uav": ((512, 512), 4, (0.408, 0.447, 0.470), (0.289, 0.274, 0.278)),
     "coco_hp": ((512, 512), 1, (0.408, 0.447, 0.470), (0.289, 0.274, 0.278)),
 }

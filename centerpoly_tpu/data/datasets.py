@@ -341,6 +341,28 @@ class UADetracMeta(DatasetMeta):
         return PascalMeta.run_eval(self, results, save_dir)
 
 
+class UADetrac1on10Meta(UADetracMeta):
+    """Reference: dataset/uadetrac1on10.py — the 1-in-10-frames subset."""
+    name = "uadetrac1on10"
+
+    def annot_path(self, split: str) -> str:
+        base = os.path.join(self.data_root, "UA-Detrac", "COCO-format")
+        name = {"train": "train-1-on-10.json", "val": "val.json",
+                "test": "test-1-on-30.json"}[split]
+        return os.path.join(base, name)
+
+
+class UADetrac1on10BMeta(UADetrac1on10Meta):
+    """Reference: dataset/uadetrac1on10_b.py (background-frames variant)."""
+    name = "uadetrac1on10_b"
+
+    def annot_path(self, split: str) -> str:
+        base = os.path.join(self.data_root, "UA-Detrac", "COCO-format")
+        name = {"train": "train-1-on-10-b.json", "val": "val.json",
+                "test": "test-1-on-30.json"}[split]
+        return os.path.join(base, name)
+
+
 class UAVMeta(DatasetMeta):
     """Reference: dataset/uav.py — single-class drone detection."""
     name = "uav"
@@ -369,5 +391,7 @@ DATASETS = {
     "kitti": KittiMeta,
     "kitti2d": Kitti2dMeta,
     "uadetrac": UADetracMeta,
+    "uadetrac1on10": UADetrac1on10Meta,
+    "uadetrac1on10_b": UADetrac1on10BMeta,
     "uav": UAVMeta,
 }
