@@ -31,4 +31,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # for subprocesses spawned by tests
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# The sitecustomize imports jax before this conftest runs, so the
+# JAX_COMPILATION_CACHE_DIR env var above is read too late — set the
+# persistent cache programmatically (verified: env-only setup writes no
+# entries; set_cache_dir does).
+from jax.experimental.compilation_cache import (  # noqa: E402
+    compilation_cache as _cc)
+
+_cc.set_cache_dir(_cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
