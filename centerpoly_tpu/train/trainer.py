@@ -79,8 +79,10 @@ class Trainer:
         self.loss_cfg = loss_config_for(cfg)
         loss_callable = loss_fn_for_task(cfg.task)
 
-        self.mesh = make_mesh() if use_mesh and len(jax.devices()) > 1 \
-            else None
+        n_dev = len(jax.devices())
+        # the batch axis shards over the mesh — it must divide evenly
+        use_mesh = use_mesh and n_dev > 1 and cfg.batch_size % n_dev == 0
+        self.mesh = make_mesh() if use_mesh else None
         model = create_model(cfg.arch, cfg.heads, cfg.head_conv)
         steps_per_epoch = max(1, len(train_loader))
         self.state = create_train_state(

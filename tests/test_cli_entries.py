@@ -1,0 +1,75 @@
+"""L5 entry-point integration: `python -m centerpoly_tpu.test` over a
+synthetic Cityscapes-layout data root (reference surface: src/test.py)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from centerpoly_tpu.data.datasets import CityscapesMeta
+
+
+def _make_dataroot(tmp_path, n_images=2, n_points=16):
+    """cityscapesStuff/BBoxes/val16_regular_interval.json + tiny pngs."""
+    cv2 = pytest.importorskip("cv2")
+    bdir = tmp_path / "cityscapesStuff" / "BBoxes"
+    bdir.mkdir(parents=True)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    for i in range(n_images):
+        p = str(img_dir / f"val_{i}_leftImg8bit.png")
+        cv2.imwrite(p, (rng.rand(128, 256, 3) * 255).astype(np.uint8))
+        images.append({"id": i, "file_name": p,
+                       "height": 128, "width": 256})
+        ang = np.sort(rng.rand(n_points) * 2 * np.pi)
+        xs = 128 + 30 * np.cos(ang)
+        ys = 64 + 20 * np.sin(ang)
+        annotations.append({
+            "id": i, "image_id": i, "category_id": 3,
+            "bbox": [float(xs.min()), float(ys.min()),
+                     float(xs.max() - xs.min()),
+                     float(ys.max() - ys.min())],
+            "poly": np.stack([xs, ys], -1).reshape(-1).tolist(),
+            "pseudo_depth": 0, "area": 600.0})
+    path = bdir / f"val{n_points}_regular_interval.json"
+    json.dump({"images": images, "annotations": annotations,
+               "categories": [{"id": c, "name": n} for c, n in
+                              enumerate(CityscapesMeta.class_name[1:9],
+                                        1)]}, open(path, "w"))
+    return tmp_path
+
+
+def test_test_entry_runs(tmp_path, capsys):
+    from centerpoly_tpu.test import main
+
+    root = _make_dataroot(tmp_path)
+    save_root = tmp_path / "exp"
+    main(["polydet", "--dataset", "cityscapes", "--arch", "res_18",
+          "--input_h", "64", "--input_w", "128", "--K", "8",
+          "--data_dir", str(root), "--save_dir", str(save_root),
+          "--exp_id", "smoke"])
+    out = capsys.readouterr().out
+    assert "results written to" in out or "instance AP" in out
+    save_dir = save_root / "cityscapes" / "polydet" / "smoke"
+    assert (save_dir / "results.json").exists()
+
+
+def test_main_entry_trains_one_epoch(tmp_path):
+    from centerpoly_tpu.main import main
+
+    root = _make_dataroot(tmp_path)
+    # train split annotation: reuse the val file contents
+    src = root / "cityscapesStuff" / "BBoxes" / "val16_regular_interval.json"
+    dst = root / "cityscapesStuff" / "BBoxes" / "train16_regular_interval.json"
+    dst.write_text(src.read_text())
+    save_root = tmp_path / "exp2"
+    main(["polydet", "--dataset", "cityscapes", "--arch", "res_18",
+          "--input_h", "64", "--input_w", "128", "--K", "8",
+          "--batch_size", "2", "--num_epochs", "1", "--val_intervals", "0",
+          "--data_dir", str(root), "--save_dir", str(save_root),
+          "--exp_id", "smoke"])
+    save_dir = save_root / "cityscapes" / "polydet" / "smoke"
+    assert (save_dir / "model_last").exists()
+    assert (save_dir / "log.txt").exists() or (save_dir / "opt.txt").exists()
