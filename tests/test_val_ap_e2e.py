@@ -82,11 +82,12 @@ def fixture_setup(tmp_path):
     return path, gt_images
 
 
-def test_oracle_val_ap(tmp_path, fixture_setup):
+@pytest.mark.parametrize("rep", ["cartesian", "polar"])
+def test_oracle_val_ap(tmp_path, fixture_setup, rep):
     path, gt_images = fixture_setup
     cfg = Config(task="polydet", dataset="cityscapes", arch="res_18",
                  input_h=128, input_w=256, batch_size=2, K=16,
-                 val_intervals=1, num_epochs=1,
+                 val_intervals=1, num_epochs=1, rep=rep,
                  eval_oracle_hm=True, eval_oracle_poly=True,
                  eval_oracle_offset=True, eval_oracle_pseudo_depth=True)
     meta = TinyCityMeta(tmp_path, gt_images)
@@ -107,3 +108,57 @@ def test_oracle_val_ap(tmp_path, fixture_setup):
     assert os.path.exists(os.path.join(save_dir, "results.json"))
     assert os.path.exists(os.path.join(save_dir, "gtInstances.json"))
     assert os.path.exists(os.path.join(save_dir, "instance_ap.json"))
+
+
+class TinyIDDMeta(TinyCityMeta):
+    """IDD anue label space at the tiny source resolution."""
+    from centerpoly_tpu.data.datasets import IDDMeta as _IDD
+    num_classes = _IDD.num_classes
+    class_name = _IDD.class_name
+    label_to_id = _IDD.label_to_id
+    class_frequencies = _IDD.class_frequencies
+    instance_labels = _IDD.instance_labels
+    void_ids = _IDD.void_ids
+    eval_drop_classes = ()
+
+
+def test_oracle_val_ap_idd_labels(tmp_path):
+    """The per-dataset instance-label plumbing: IDD's anue ids (car=12)
+    must round-trip through rasterize + eval."""
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    gt_images = {}
+    for i in range(2):
+        images.append({"id": i, "file_name": f"img_{i}.png",
+                       "height": 128, "width": 256})
+        gt = np.zeros((128, 256), np.int32)
+        x0, y0, w, h = 40 + 60 * i, 30, 70, 60
+        poly = _rect_poly(x0, y0, w, h)
+        # category 6 = 'car' in the IDD class table
+        annotations.append({
+            "id": i, "image_id": i, "category_id": 6,
+            "bbox": [float(x0), float(y0), float(w), float(h)],
+            "poly": poly.reshape(-1).tolist(), "pseudo_depth": 0,
+            "area": float(w * h)})
+        gt[y0:y0 + h + 1, x0:x0 + w + 1] = 12000 + i  # anue car id 12
+        gt_images[str(i)] = gt
+    path = os.path.join(tmp_path, "ann.json")
+    json.dump({"images": images, "annotations": annotations,
+               "categories": [{"id": c, "name": n} for c, n in
+                              enumerate(TinyIDDMeta.class_name[1:], 1)]},
+              open(path, "w"))
+
+    cfg = Config(task="polydet", dataset="IDD", arch="res_18",
+                 input_h=128, input_w=256, batch_size=2, K=16,
+                 val_intervals=1,
+                 eval_oracle_hm=True, eval_oracle_poly=True,
+                 eval_oracle_offset=True, eval_oracle_pseudo_depth=True)
+    meta = TinyIDDMeta(tmp_path, gt_images)
+    ann = CocoPolyAnnotations(path)
+    val_sampler = PolydetSampler(cfg, meta, ann, split="val")
+    val_loader = Loader(val_sampler, len(val_sampler), 2, shuffle=False,
+                        drop_last=False)
+    trainer = Trainer(cfg, train_loader=[], val_loader=val_loader,
+                      dataset_meta=meta, use_mesh=False)
+    _, ap = trainer.validate(1, str(tmp_path / "out"))
+    assert ap is not None and ap > 0.5, f"IDD oracle AP: {ap}"
