@@ -167,6 +167,7 @@ class Config:
     nms: bool = False
     K: int = 128
     thresh: float = 0.05
+    peak_thresh: float = 0.2       # ddd score cut (ref opts.py)
     fix_res: bool = True
     flip_test: bool = False
     vis_thresh: float = 0.3
@@ -224,8 +225,13 @@ class Config:
             if name == "task":
                 continue
             if f.type == "bool" or isinstance(f.default, bool):
-                parser.add_argument(f"--{name}", action="store_true",
-                                    default=f.default)
+                # default-False flags switch on with --name; default-True
+                # flags switch off with --no_name (the reference's
+                # `--not_*` surface, e.g. opts.py --not_reg_offset)
+                parser.add_argument(f"--{name}", dest=name,
+                                    action="store_true", default=f.default)
+                parser.add_argument(f"--no_{name}", f"--not_{name}",
+                                    dest=name, action="store_false")
             elif isinstance(f.default, tuple):
                 parser.add_argument(f"--{name}", type=str,
                                     default=",".join(map(str, f.default)))

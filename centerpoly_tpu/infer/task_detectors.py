@@ -125,7 +125,7 @@ class DddDetector(BaseDetector):
         results = detections[0]
         for j in range(1, self.num_classes + 1):
             if len(results[j]) > 0:
-                keep = results[j][:, -1] > self.cfg.thresh
+                keep = results[j][:, -1] > self.cfg.peak_thresh
                 results[j] = results[j][keep]
         return results
 
