@@ -38,10 +38,17 @@ class DatasetMeta:
     def img_dir(self, split: str) -> Optional[str]:
         return None
 
+    def gt_instance_dir(self, split: str = "val"):
+        """Directory of *_instanceIds.png GT, when the real dataset layout
+        is present (cityscapes: gtFine/<split>; ref CITYSCAPES_DATASET)."""
+        d = os.path.join(self.data_root, "gtFine", split)
+        return d if os.path.isdir(d) else None
+
     def run_eval(self, results, save_dir: str):
         """Write instance masks + run the official-protocol AP evaluator."""
         from ..eval.harness import run_instance_eval
-        return run_instance_eval(self, results, save_dir)
+        return run_instance_eval(self, results, save_dir,
+                                 gt_instance_dir=self.gt_instance_dir())
 
 
 class CityscapesMeta(DatasetMeta):
