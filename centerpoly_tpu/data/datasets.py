@@ -181,7 +181,7 @@ class CocoMeta(DatasetMeta):
         import json
         import numpy as np
         from .coco_poly import CocoPolyAnnotations
-        from ..eval.coco_eval import evaluate_coco_map
+        from ..eval.coco_eval import evaluate_coco_map_areas
 
         ann = CocoPolyAnnotations(self.annot_path("val"))
         remapped = {}
@@ -189,7 +189,7 @@ class CocoMeta(DatasetMeta):
             remapped[int(img_id)] = {
                 self._valid_ids[cls - 1]: np.asarray(rows, np.float32)
                 for cls, rows in per_class.items() if len(rows)}
-        res = evaluate_coco_map(ann, remapped)
+        res = evaluate_coco_map_areas(ann, remapped)
         os.makedirs(save_dir, exist_ok=True)
         with open(os.path.join(save_dir, "coco_eval.json"), "w") as f:
             json.dump(res, f, indent=2)
@@ -235,19 +235,29 @@ class PascalMeta(DatasetMeta):
         return d if os.path.isdir(d) else None
 
     def run_eval(self, results, save_dir: str):
+        """VOC-2007 11-point mAP (the reference's protocol: src/lib/
+        datasets/dataset/pascal.py:77-79 -> tools/reval.py ->
+        voc_eval_lib voc_eval with use_07_metric).  A COCO-protocol
+        summary is also written alongside, clearly labeled."""
         import json
         import numpy as np
         from .coco_poly import CocoPolyAnnotations
-        from ..eval.coco_eval import evaluate_coco_map
+        from ..eval.coco_eval import evaluate_coco_map_areas
+        from ..eval.voc_eval import evaluate_voc_map
 
         ann = CocoPolyAnnotations(self.annot_path("val"))
         remapped = {int(i): {c: np.asarray(r, np.float32)
                              for c, r in pc.items() if len(r)}
                     for i, pc in results.items()}
-        res = evaluate_coco_map(ann, remapped)
+        res = evaluate_voc_map(ann, remapped, use_07_metric=True,
+                               class_names=self.class_name)
+        coco_res = evaluate_coco_map_areas(ann, remapped)
         os.makedirs(save_dir, exist_ok=True)
         with open(os.path.join(save_dir, "voc_eval.json"), "w") as f:
             json.dump(res, f, indent=2)
+        with open(os.path.join(save_dir,
+                               "coco_protocol_eval.json"), "w") as f:
+            json.dump(coco_res, f, indent=2)
         return res
 
 

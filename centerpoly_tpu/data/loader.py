@@ -31,9 +31,23 @@ def stack_batch(samples) -> Dict[str, np.ndarray]:
 _WORKER_SAMPLER = None
 
 
-def _worker_init(sampler):
+def _worker_init(sampler, epoch_seed):
+    """Install the sampler in a worker and give it a unique RNG stream.
+
+    Reseeds per (epoch, worker) so that (a) workers do not replay each
+    other's augmentation stream and (b) a fresh pool each epoch does not
+    replay the previous epoch's stream (the parent's sampler RNG never
+    advances — only workers consume it).
+    """
     global _WORKER_SAMPLER
     _WORKER_SAMPLER = sampler
+    import multiprocessing as mp
+
+    ident = mp.current_process()._identity
+    wid = ident[0] if ident else 0
+    if hasattr(sampler, "rng"):
+        sampler.rng = np.random.RandomState(
+            (int(epoch_seed) * 1000003 + wid) % (2 ** 32))
 
 
 def _worker_encode(batch_idx):
@@ -91,9 +105,14 @@ class Loader:
     def _iter_processes(self) -> Iterator[Dict[str, np.ndarray]]:
         import multiprocessing as mp
 
-        ctx = mp.get_context("fork")
+        # forkserver, not fork: the parent typically has a live,
+        # multithreaded JAX runtime by the time training iterates, and
+        # forking a threaded process can deadlock. forkserver workers
+        # descend from a clean server process; initargs are picklable.
+        ctx = mp.get_context("forkserver")
+        epoch_seed = int(self.rng.randint(0, 2 ** 31 - 1))
         with ctx.Pool(self.num_workers, initializer=_worker_init,
-                      initargs=(self.sampler,)) as pool:
+                      initargs=(self.sampler, epoch_seed)) as pool:
             # imap preserves submission order; workers run ahead by
             # pool-internal chunking + the iterator's laziness
             for batch in pool.imap(_worker_encode,

@@ -114,7 +114,8 @@ def evaluate_coco_map(annotations, results: Dict[int, Dict[int, np.ndarray]],
             areas = np.array([a.get("area",
                                     a["bbox"][2] * a["bbox"][3])
                               for a in anns], np.float32)
-            crowd = np.array([bool(a.get("iscrowd", 0)) for a in anns])
+            crowd = np.array([bool(a.get("iscrowd", 0)) for a in anns],
+                             dtype=bool)
             gt_ignore = crowd | (areas < lo) | (areas > hi)
 
             det = results.get(img_id, {}).get(cat, np.zeros((0, 5)))
@@ -175,3 +176,17 @@ def evaluate_coco_map(annotations, results: Dict[int, Dict[int, np.ndarray]],
         "AP75": float(prec[:, 5].mean()),
         "AR100": float(np.mean(ar_acc)),
     }
+
+
+def evaluate_coco_map_areas(annotations,
+                            results: Dict[int, Dict[int, np.ndarray]],
+                            max_dets: int = 100) -> Dict[str, float]:
+    """Full COCO summary: AP/AP50/AP75/AR100 plus APs/APm/APl.
+
+    Mirrors COCOeval.summarize()'s 12-metric table subset that the
+    reference prints via pycocotools (src/lib/datasets/dataset/coco.py).
+    """
+    out = evaluate_coco_map(annotations, results, max_dets, "all")
+    for rng, key in (("small", "APs"), ("medium", "APm"), ("large", "APl")):
+        out[key] = evaluate_coco_map(annotations, results, max_dets, rng)["AP"]
+    return out

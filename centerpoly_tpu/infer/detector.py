@@ -240,9 +240,13 @@ class BaseDetector:
         img = ((images[0] * np.asarray(cfg.std) + np.asarray(cfg.mean))
                * 255.0)
         img = np.clip(img, 0, 255).astype(np.uint8)
-        hm = np.asarray(
-            jax.nn.sigmoid(out["hm"].astype(jnp.float32))[0])
-        dbg.add_blend_img(img, dbg.gen_colormap(hm), "pred_hm")
+        # exdet's device program has no fused "hm" head — its centre
+        # heatmap is "hm_c" (ref debuggers show hm_t/l/b/r separately).
+        hm_key = "hm" if "hm" in out else ("hm_c" if "hm_c" in out else None)
+        if hm_key is not None:
+            hm = np.asarray(
+                jax.nn.sigmoid(out[hm_key].astype(jnp.float32))[0])
+            dbg.add_blend_img(img, dbg.gen_colormap(hm), "pred_hm")
         dbg.add_img(image.astype(np.uint8), img_id="detections")
         for j, rows in results.items():
             for row in np.asarray(rows):

@@ -236,10 +236,15 @@ class Trainer:
                 self._log(f"val {epoch} | AP eval skipped: {e}\n")
                 res = None
             if res is not None:
-                ap = float(res.get("allAp", 0.0) or 0.0)
-                self._log(f"val   {epoch} | AP {ap:.4f} "
-                          f"AP50 {res.get('allAp50%')}\n")
-                if self.logger is not None:
+                # cityscapes-style evaluators emit allAp; the COCO-protocol
+                # ones (coco/pascal/uadetrac/...) emit AP. Leave ap=None when
+                # neither is present so fit() falls back to -loss gating.
+                ap_val = res.get("allAp", res.get("AP"))
+                ap = float(ap_val) if ap_val is not None else None
+                ap50 = res.get("allAp50%", res.get("AP50"))
+                self._log(f"val   {epoch} | AP {ap if ap is None else round(ap, 4)} "
+                          f"AP50 {ap50}\n")
+                if self.logger is not None and ap is not None:
                     self.logger.scalar_summary("val_AP", ap, epoch)
         return avg.get("loss"), ap
 
