@@ -181,6 +181,12 @@ class Config:
     # parallelism (TPU-native axis; reference analog: chunk_sizes/gpus)
     mesh_shape: Tuple[int, ...] = (-1,)   # -1 = all devices on 'data'
     mixed_precision: bool = True          # bf16 conv compute
+    # multi-host (SURVEY §2.7): same program over N processes; the mesh
+    # spans all global devices after jax.distributed.initialize
+    distributed: bool = False             # call jax.distributed.initialize
+    coordinator_address: str = ""         # "" = auto-detect (TPU pods)
+    num_processes: int = -1               # -1 = auto-detect
+    process_id: int = -1                  # -1 = auto-detect
 
     # -- derived --------------------------------------------------------
     def __post_init__(self):

@@ -1,10 +1,17 @@
-"""Single-image / folder inference CLI (reference surface: src/demo.py).
+"""Single-image / folder / video / webcam inference CLI
+(reference surface: src/demo.py).
 
     python -m centerpoly_tpu.infer.demo polydet --demo path/to/img.png \
         --arch dla_34 --load_model exp/.../model_best
+    python -m centerpoly_tpu.infer.demo polydet --demo clip.mp4 \
+        --out_video clip_polydet.avi --max_frames 100
+    python -m centerpoly_tpu.infer.demo polydet --demo webcam --show
 
-Prints the reference's per-stage timing line (demo.py:50-53) and writes an
-overlay image next to the input when --save_overlay is passed.
+Prints the reference's per-stage timing line (demo.py:50-53).  For images,
+--save_overlay writes an overlay next to each input; for video/webcam
+(demo.py:23-36), --out_video writes an annotated video and --show opens the
+reference's cv2.imshow window (esc quits) — off by default so the loop runs
+headless.
 """
 from __future__ import annotations
 
@@ -15,6 +22,8 @@ import numpy as np
 
 
 IMG_EXTS = (".jpg", ".jpeg", ".png", ".webp", ".ppm")
+VIDEO_EXTS = (".mp4", ".mov", ".avi", ".mkv")
+TIME_STATS = ("tot", "load", "pre", "net", "dec", "post", "merge")
 
 
 def draw_overlay(image: np.ndarray, results, vis_thresh: float = 0.3):
@@ -38,26 +47,98 @@ def draw_overlay(image: np.ndarray, results, vis_thresh: float = 0.3):
     return out
 
 
+def _timing_line(ret) -> str:
+    return "".join(f"{s} {ret[s]:.3f}s |" for s in TIME_STATS)
+
+
+def run_video(detector, source: str, vis_thresh: float = 0.3,
+              out_video: str | None = None, max_frames: int = 0,
+              show: bool = False) -> int:
+    """Reference demo.py:23-36 VideoCapture loop, headless-capable.
+
+    source: "webcam" (device 0) or a video file path.  Returns the number
+    of frames processed.  Stops at end-of-stream, esc (when --show), or
+    after max_frames (>0).
+    """
+    import cv2
+
+    cam = cv2.VideoCapture(0 if source == "webcam" else source)
+    if not cam.isOpened():
+        raise SystemExit(f"cannot open video source {source!r}")
+    writer = None
+    n = 0
+    try:
+        while True:
+            ok, img = cam.read()
+            if not ok or img is None:
+                break
+            ret = detector.run(img)
+            print(f"frame {n}: {_timing_line(ret)}")
+            if out_video is not None or show:
+                overlay = draw_overlay(img, ret["results"], vis_thresh)
+                if out_video is not None:
+                    if writer is None:
+                        h, w = overlay.shape[:2]
+                        writer = cv2.VideoWriter(
+                            out_video,
+                            cv2.VideoWriter_fourcc(*"MJPG"),
+                            cam.get(cv2.CAP_PROP_FPS) or 30.0, (w, h))
+                    writer.write(overlay)
+                if show:
+                    cv2.imshow("input", img)
+                    cv2.imshow("polydet", overlay)
+                    if cv2.waitKey(1) == 27:  # esc to quit (ref demo.py:35)
+                        break
+            n += 1
+            if max_frames and n >= max_frames:
+                break
+    finally:
+        cam.release()
+        if writer is not None:
+            writer.release()
+    if out_video is not None:
+        print(f"annotated video -> {out_video} ({n} frames)")
+    return n
+
+
+def _pop_flag(argv, name):
+    if name in argv:
+        argv.remove(name)
+        return True
+    return False
+
+
+def _pop_opt(argv, name, default=None):
+    if name in argv:
+        i = argv.index(name)
+        val = argv[i + 1]
+        del argv[i:i + 2]
+        return val
+    return default
+
+
 def main(argv=None):
     from ..configs import Config
     from .detector import create_detector
 
     argv = list(sys.argv[1:] if argv is None else argv)
-    save_overlay = "--save_overlay" in argv
-    if save_overlay:
-        argv.remove("--save_overlay")
-    demo_path = None
-    if "--demo" in argv:
-        i = argv.index("--demo")
-        demo_path = argv[i + 1]
-        del argv[i:i + 2]
+    save_overlay = _pop_flag(argv, "--save_overlay")
+    show = _pop_flag(argv, "--show")
+    out_video = _pop_opt(argv, "--out_video")
+    max_frames = int(_pop_opt(argv, "--max_frames", 0))
+    demo_path = _pop_opt(argv, "--demo")
     cfg = Config.from_args(argv)
 
     # --load_model (orbax dir or reference .pth) loads in the constructor
     detector = create_detector(cfg)
 
     if demo_path is None:
-        raise SystemExit("--demo <image-or-folder> is required")
+        raise SystemExit("--demo <image|folder|video|webcam> is required")
+    if (demo_path == "webcam"
+            or os.path.splitext(demo_path)[1].lower() in VIDEO_EXTS):
+        run_video(detector, demo_path, cfg.vis_thresh,
+                  out_video=out_video, max_frames=max_frames, show=show)
+        return
     if os.path.isdir(demo_path):
         files = [os.path.join(demo_path, f)
                  for f in sorted(os.listdir(demo_path))
@@ -72,9 +153,7 @@ def main(argv=None):
             print(f"skipping unreadable {path}")
             continue
         ret = detector.run(img)
-        line = "".join(f"{s} {ret[s]:.3f}s |" for s in
-                       ("tot", "load", "pre", "net", "dec", "post", "merge"))
-        print(f"{os.path.basename(path)}: {line}")
+        print(f"{os.path.basename(path)}: {_timing_line(ret)}")
         if save_overlay:
             out = draw_overlay(img, ret["results"], cfg.vis_thresh)
             out_path = os.path.splitext(path)[0] + "_polydet.png"

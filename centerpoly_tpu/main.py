@@ -17,6 +17,21 @@ def main(argv=None):
     cfg = Config.from_args(argv)
     np.random.seed(cfg.seed)
 
+    local_batch = cfg.batch_size
+    if cfg.distributed:
+        from .train.mesh import initialize_distributed
+        multi = initialize_distributed(cfg.coordinator_address,
+                                       cfg.num_processes, cfg.process_id)
+        import jax
+        print(f"distributed: {jax.process_count()} processes, "
+              f"{jax.device_count()} global devices (multi={multi})")
+        if multi:
+            # cfg.batch_size is GLOBAL; each process loads its share and
+            # shard_batch assembles the global array
+            assert cfg.batch_size % jax.process_count() == 0, (
+                "batch_size must divide evenly across processes")
+            local_batch = cfg.batch_size // jax.process_count()
+
     meta_cls = DATASETS.get(cfg.dataset)
     if meta_cls is None:
         raise SystemExit(f"dataset '{cfg.dataset}' has no adapter")
@@ -29,7 +44,7 @@ def main(argv=None):
     train_sampler = sampler_cls(cfg, meta, train_ann, split="train",
                                 img_dir=meta.img_dir("train"))
     train_loader = Loader(train_sampler, len(train_sampler),
-                          cfg.batch_size, shuffle=True,
+                          local_batch, shuffle=True,
                           num_workers=cfg.num_workers)
 
     val_loader = None
@@ -38,7 +53,7 @@ def main(argv=None):
         val_sampler = sampler_cls(cfg, meta, val_ann, split="val",
                                   img_dir=meta.img_dir("val"))
         val_loader = Loader(val_sampler, len(val_sampler),
-                            cfg.batch_size, shuffle=False, drop_last=False)
+                            local_batch, shuffle=False, drop_last=False)
     except FileNotFoundError:
         pass
 

@@ -1,6 +1,7 @@
 from .state import TrainState, create_train_state, lr_schedule
 from .step import make_train_step, make_eval_step
-from .mesh import make_mesh, shard_batch, replicate
+from .mesh import (make_mesh, shard_batch, replicate,
+                   initialize_distributed)
 
 __all__ = [
     "TrainState",
@@ -11,4 +12,5 @@ __all__ = [
     "make_mesh",
     "shard_batch",
     "replicate",
+    "initialize_distributed",
 ]

@@ -41,6 +41,7 @@ def _make_dataroot(tmp_path, n_images=2, n_points=16):
     return tmp_path
 
 
+@pytest.mark.slow
 def test_test_entry_runs(tmp_path, capsys):
     from centerpoly_tpu.test import main
 
@@ -56,6 +57,7 @@ def test_test_entry_runs(tmp_path, capsys):
     assert (save_dir / "results.json").exists()
 
 
+@pytest.mark.slow
 def test_main_entry_trains_one_epoch(tmp_path):
     from centerpoly_tpu.main import main
 
@@ -73,3 +75,33 @@ def test_main_entry_trains_one_epoch(tmp_path):
     save_dir = save_root / "cityscapes" / "polydet" / "smoke"
     assert (save_dir / "model_last").exists()
     assert (save_dir / "log.txt").exists() or (save_dir / "opt.txt").exists()
+
+
+def test_demo_video_entry(tmp_path, capsys):
+    """Video path of the demo CLI (reference src/demo.py:23-36): a short
+    synthetic .avi runs through the detector and an annotated video is
+    written."""
+    cv2 = pytest.importorskip("cv2")
+    from centerpoly_tpu.infer.demo import main
+
+    src = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                        (128, 64))
+    rng = np.random.RandomState(0)
+    for _ in range(4):
+        w.write((rng.rand(64, 128, 3) * 255).astype(np.uint8))
+    w.release()
+
+    out_video = str(tmp_path / "clip_out.avi")
+    main(["polydet", "--dataset", "cityscapes", "--arch", "res_18",
+          "--input_h", "64", "--input_w", "128", "--K", "8",
+          "--demo", src, "--out_video", out_video, "--max_frames", "3"])
+    out = capsys.readouterr().out
+    assert out.count("frame ") == 3
+    assert os.path.exists(out_video)
+    cap = cv2.VideoCapture(out_video)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 3

@@ -208,6 +208,7 @@ class TestPolyIoU:
                                    jnp.asarray(mask)))
         assert loss == pytest.approx(0.0, abs=1e-3)
 
+    @pytest.mark.slow
     def test_gradient_flows(self):
         rng = np.random.RandomState(8)
         n = 8

@@ -98,6 +98,7 @@ class TestDeformConv:
     ("res_18", 1, (64, 128)),
     ("resdcn_18", 1, (64, 128)),
 ])
+@pytest.mark.slow
 def test_model_forward_shapes(arch, stacks, hw):
     model = create_model(arch, HEADS, head_conv=256 if "dla" in arch else 64)
     h, w = hw
@@ -111,6 +112,7 @@ def test_model_forward_shapes(arch, stacks, hw):
     assert out["reg"].shape == (1, h // 4, w // 4, 2)
 
 
+@pytest.mark.slow
 def test_hourglass_two_stacks():
     model = create_model("hourglass", HEADS, head_conv=256)
     x = jnp.zeros((1, 128, 128, 3))
@@ -126,6 +128,7 @@ def test_hm_bias_init():
     np.testing.assert_allclose(np.asarray(bias), -2.19, rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_train_mode_updates_batch_stats():
     model = create_model("res_18", HEADS, head_conv=64)
     x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3)

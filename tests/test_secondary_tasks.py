@@ -207,6 +207,7 @@ class TestMultiPose:
         assert dets[0, 0, 5] == pytest.approx(12.5, abs=1e-4)
         assert dets[0, 0, 6] == pytest.approx(16.5, abs=1e-4)
 
+    @pytest.mark.slow
     def test_detector(self):
         from centerpoly_tpu.infer.task_detectors import MultiPoseDetector
         cfg = Config(task="multi_pose", dataset="coco_hp", arch="res_18",

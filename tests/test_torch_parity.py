@@ -87,6 +87,7 @@ def _import_and_compare(ref_net, arch, x_nchw, atol, create_kwargs=None):
         assert diff < atol, f"head {head}: rel-max diff {diff:.5f} >= {atol}"
 
 
+@pytest.mark.slow
 def test_dla34_import_parity():
     from helpers.torch_ref import build_ref_dla34
 
@@ -95,6 +96,7 @@ def test_dla34_import_parity():
     _import_and_compare(net, "dla_34", x, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_hourglass_import_parity():
     from helpers.torch_ref import build_ref_hourglass
 

@@ -83,6 +83,7 @@ def fixture_setup(tmp_path):
 
 
 @pytest.mark.parametrize("rep", ["cartesian", "polar"])
+@pytest.mark.slow
 def test_oracle_val_ap(tmp_path, fixture_setup, rep):
     path, gt_images = fixture_setup
     cfg = Config(task="polydet", dataset="cityscapes", arch="res_18",
