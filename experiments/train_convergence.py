@@ -1,0 +1,195 @@
+"""Oracle-free end-to-end training convergence (VERDICT round-2 item 1).
+
+Overfits the REAL polydet train step on a synthetic rectangle fixture and
+scores *predicted* (no oracle substitution) decode -> rasterize ->
+official-protocol instance AP.  This is the proof that the full loss
+stack + optimizer + decode chain actually learns a working detector —
+the property the reference demonstrates by training on Cityscapes
+(reference: src/main.py:24-198 + src/lib/trains/polydet.py:38-162).
+
+Usage:
+  python experiments/train_convergence.py [--arch res_18] [--rep cartesian]
+      [--poly_loss l1] [--epochs 60] [--platform tpu|cpu] [--images 8]
+      [--input_h 128] [--input_w 256] [--bar 0.5]
+
+Prints one JSON line with the AP trajectory and pass/fail vs the bar.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def rect_poly(x0, y0, w, h, n=16):
+    """n vertices along a rectangle perimeter (same as the e2e fixtures)."""
+    import numpy as np
+
+    pts, per, d = [], 2 * (w + h), 0.0
+    for _ in range(n):
+        t = d % per
+        if t < w:
+            pts.append((x0 + t, y0))
+        elif t < w + h:
+            pts.append((x0 + w, y0 + (t - w)))
+        elif t < 2 * w + h:
+            pts.append((x0 + w - (t - w - h), y0 + h))
+        else:
+            pts.append((x0, y0 + h - (t - 2 * w - h)))
+        d += per / n
+    return np.array(pts, np.float32)
+
+
+def make_dataset(root: str, n_images: int, seed: int, h: int, w: int):
+    import cv2
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    img_dir = os.path.join(root, "imgs")
+    os.makedirs(img_dir, exist_ok=True)
+    images, annotations = [], []
+    gt_images = {}
+    for i in range(n_images):
+        img = (rng.rand(h, w, 3) * 40).astype(np.uint8)
+        gt = np.zeros((h, w), np.int32)
+        for k in range(1 + int(rng.randint(0, 3))):
+            bw = int(rng.randint(w // 8, w // 3))
+            bh = int(rng.randint(h // 6, h // 2))
+            x0 = int(rng.randint(2, w - bw - 3))
+            y0 = int(rng.randint(2, h - bh - 3))
+            color = tuple(int(c) for c in rng.randint(140, 256, 3))
+            cv2.rectangle(img, (x0, y0), (x0 + bw, y0 + bh), color, -1)
+            poly = rect_poly(x0, y0, bw, bh)
+            annotations.append({
+                "id": len(annotations), "image_id": i, "category_id": 3,
+                "bbox": [float(x0), float(y0), float(bw), float(bh)],
+                "poly": poly.reshape(-1).tolist(), "pseudo_depth": k,
+                "area": float(bw * bh)})
+            gt[y0:y0 + bh + 1, x0:x0 + bw + 1] = 26000 + len(annotations)
+        images.append({"id": i, "file_name": f"img_{i}.png",
+                       "height": h, "width": w})
+        cv2.imwrite(os.path.join(img_dir, f"img_{i}.png"), img)
+        gt_images[str(i)] = gt
+    ann_path = os.path.join(root, "ann.json")
+    from centerpoly_tpu.data.datasets import CityscapesMeta
+    json.dump({"images": images, "annotations": annotations,
+               "categories": [{"id": c, "name": n} for c, n in
+                              enumerate(CityscapesMeta.class_name[1:9], 1)]},
+              open(ann_path, "w"))
+    return ann_path, img_dir, gt_images
+
+
+def run(arch="res_18", rep="cartesian", poly_loss="l1", epochs=60,
+        n_images=8, input_h=128, input_w=256, batch_size=4, lr=2.5e-4,
+        bar=0.5, seed=0, root=None, val_every=10, poly_order=False,
+        log=print):
+    import numpy as np
+    from centerpoly_tpu.configs import Config
+    from centerpoly_tpu.data import (CocoPolyAnnotations, PolydetSampler,
+                                     Loader)
+    from centerpoly_tpu.data.datasets import CityscapesMeta
+    from centerpoly_tpu.train.trainer import Trainer
+
+    import tempfile
+    root = root or tempfile.mkdtemp(prefix="conv_")
+    ann_path, img_dir, gt_images = make_dataset(
+        root, n_images, seed, input_h, input_w)
+
+    class FixtureMeta(CityscapesMeta):
+        eval_image_size = (input_h, input_w)
+        last_res = None
+
+        def run_eval(self, results, save_dir):
+            from centerpoly_tpu.eval.harness import run_instance_eval
+            res = run_instance_eval(self, results, save_dir,
+                                    gt_images=gt_images)
+            FixtureMeta.last_res = res
+            return res
+
+    cfg = Config(task="polydet", dataset="cityscapes", arch=arch,
+                 input_h=input_h, input_w=input_w, batch_size=batch_size,
+                 K=16, rep=rep, poly_loss=poly_loss, lr=lr,
+                 num_epochs=epochs, val_intervals=0, num_workers=0,
+                 # overfit: keep geometry fixed, no color jitter
+                 not_rand_crop=True, shift=0.0, scale=0.0, flip=0.0,
+                 no_color_aug=True, poly_order=poly_order)
+    meta = FixtureMeta(root)
+    ann = CocoPolyAnnotations(ann_path)
+    train_sampler = PolydetSampler(cfg, meta, ann, split="train",
+                                   img_dir=img_dir)
+    train_loader = Loader(train_sampler, len(train_sampler), batch_size,
+                          shuffle=True, drop_last=True, num_workers=0)
+    val_sampler = PolydetSampler(cfg, meta, ann, split="val",
+                                 img_dir=img_dir)
+    val_loader = Loader(val_sampler, len(val_sampler), batch_size,
+                        shuffle=False, drop_last=False)
+    trainer = Trainer(cfg, train_loader, val_loader, meta, use_mesh=False)
+
+    save_dir = os.path.join(root, "out")
+    os.makedirs(save_dir, exist_ok=True)
+    t0 = time.time()
+    traj = []
+    ap = ap50 = 0.0
+    for epoch in range(1, epochs + 1):
+        trainer.run_epoch(epoch)
+        if epoch % val_every == 0 or epoch == epochs:
+            _, ap = trainer.validate(epoch, save_dir)
+            ap = ap or 0.0
+            res = FixtureMeta.last_res or {}
+            ap50 = float(res.get("allAp50%") or 0.0)
+            traj.append({"epoch": epoch, "ap": ap, "ap50": ap50,
+                         "steps": epoch * len(train_loader)})
+            log(f"epoch {epoch}: AP {ap:.4f} AP50 {ap50:.4f}")
+            # the bar is AP50: the 16-gon raster ceiling caps the
+            # higher-IoU thresholds well below 1 even for a perfect fit
+            if ap50 >= bar:
+                break
+    return {
+        "arch": arch, "rep": rep, "poly_loss": poly_loss,
+        "images": n_images, "input": [input_h, input_w],
+        "epochs_run": traj[-1]["epoch"] if traj else 0,
+        "steps": traj[-1]["steps"] if traj else 0,
+        "ap_trajectory": traj, "final_ap": ap, "final_ap50": ap50,
+        "bar": bar, "passed": ap50 >= bar,
+        "wall_s": round(time.time() - t0, 1),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--arch", default="res_18")
+    p.add_argument("--rep", default="cartesian")
+    p.add_argument("--poly_loss", default="l1")
+    p.add_argument("--epochs", type=int, default=60)
+    p.add_argument("--images", type=int, default=8)
+    p.add_argument("--input_h", type=int, default=128)
+    p.add_argument("--input_w", type=int, default=256)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--lr", type=float, default=2.5e-4)
+    p.add_argument("--bar", type=float, default=0.5)
+    p.add_argument("--val_every", type=int, default=10)
+    p.add_argument("--poly_order", action="store_true")
+    p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    args = p.parse_args()
+
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    from jax.experimental.compilation_cache import compilation_cache as cc
+    cc.set_cache_dir(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), ".jax_cache"))
+
+    res = run(arch=args.arch, rep=args.rep, poly_loss=args.poly_loss,
+              epochs=args.epochs, n_images=args.images,
+              input_h=args.input_h, input_w=args.input_w,
+              batch_size=args.batch_size, lr=args.lr, bar=args.bar,
+              val_every=args.val_every, poly_order=args.poly_order)
+    print("RESULT " + json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
