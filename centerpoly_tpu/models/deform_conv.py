@@ -150,16 +150,37 @@ _deform_conv2d_fast.defvjp(_dc_fwd, _dc_bwd)
 
 
 def use_pallas_dcn(h: int, w: int, c: int, cout: int) -> bool:
-    """Gate for the Pallas forward path (CENTERPOLY_PALLAS_DCN=0/1/auto)."""
+    """Gate for the exact-gather Pallas forward path
+    (CENTERPOLY_PALLAS_DCN=0/1/auto)."""
     import os
     env = os.environ.get("CENTERPOLY_PALLAS_DCN", "auto").lower()
-    if env in ("0", "off", "false"):
+    if env in ("0", "off", "false") or env.startswith("halo"):
         return False
     try:
         from ..kernels.dcn_pallas import pallas_supported
         return pallas_supported(h, w, c, cout)
     except Exception:
         return False
+
+
+def halo_dcn_mode(h: int, w: int, c: int, cout: int):
+    """Gate for the bounded-offset halo kernel.
+
+    CENTERPOLY_PALLAS_DCN=halo or halo:<R> opts in (R = max offset,
+    default kernels.dcn_halo.DEFAULT_MAX_OFFSET).  Returns (use, R):
+    use=True only when the kernel compile-probes OK on this backend;
+    R is returned whenever halo mode is requested so the XLA fallback
+    applies the SAME offset clamp (identical semantics either way).
+    """
+    import os
+    env = os.environ.get("CENTERPOLY_PALLAS_DCN", "auto").lower()
+    if not env.startswith("halo"):
+        return False, None
+    from ..kernels.dcn_halo import DEFAULT_MAX_OFFSET, halo_supported
+    r = DEFAULT_MAX_OFFSET
+    if ":" in env:
+        r = int(env.split(":", 1)[1])
+    return halo_supported(h, w, c, cout, r), r
 
 
 class DCNv2(nn.Module):
@@ -199,6 +220,17 @@ class DCNv2(nn.Module):
             return _deform_conv2d_fast(
                 x, offsets, masks, weights.astype(x.dtype),
                 bias.astype(x.dtype))
+        use_halo, r = halo_dcn_mode(h, w, cin, self.features)
+        if r is not None:
+            # halo mode: bounded offsets (documented TPU-native locality
+            # bound) — clamp consistently whether the kernel or the XLA
+            # fallback runs, so the math is identical either way
+            offsets = jnp.clip(offsets, -float(r), float(r))
+            if use_halo:
+                from ..kernels.dcn_halo import deform_conv2d_halo
+                return deform_conv2d_halo(
+                    x, offsets, masks, weights.astype(x.dtype),
+                    bias.astype(x.dtype), r)
         return deform_conv2d(x, offsets, masks, weights.astype(x.dtype),
                              bias.astype(x.dtype))
 

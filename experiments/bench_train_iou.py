@@ -30,6 +30,8 @@ def main():
     p.add_argument("--h", type=int, default=512)
     p.add_argument("--w", type=int, default=1024)
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--poly_loss", default="l1+iou")
+    p.add_argument("--rep", default="polar")
     args = p.parse_args()
 
     import jax
@@ -40,8 +42,8 @@ def main():
 
     cfg = Config(task="polydet", dataset="cityscapes", arch=args.arch,
                  input_h=args.h, input_w=args.w, batch_size=args.batch,
-                 poly_loss="l1+iou", poly_order=True, rep="polar",
-                 elliptical_gt=True)
+                 poly_loss=args.poly_loss, poly_order=args.rep == "polar",
+                 rep=args.rep, elliptical_gt=True)
     model = create_model(cfg.arch, cfg.heads, cfg.head_conv)
     state = create_train_state(
         model, jax.random.PRNGKey(0), (1, cfg.input_h, cfg.input_w, 3),
@@ -80,11 +82,32 @@ def main():
     jax.block_until_ready(stats["loss"])
     step_s = (time.perf_counter() - t0) / args.steps
 
+    # MFU: compiled-program flops / (step time * chip peak bf16)
+    peak = {  # bf16 peak FLOP/s per chip by device kind
+        "v4": 275e12, "v5e": 197e12, "v5p": 459e12, "v6e": 918e12,
+    }
+    kind = jax.devices()[0].device_kind.lower()
+    peak_flops = next((v for k, v in peak.items() if k in kind), 197e12)
+    mfu = None
+    try:
+        ca = step.lower(state, batch).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops > 0:
+            mfu = flops / (step_s * peak_flops)
+    except Exception:
+        pass
+
     print(json.dumps({
         "config": f"{args.arch} {args.batch}x{args.h}x{args.w} "
-                  "focal+WA-IoU+order (polar)",
+                  f"focal+{args.poly_loss}"
+                  f"{'+order' if cfg.poly_order else ''} ({args.rep})",
         "compile_s": round(compile_s, 2),
         "step_s": round(step_s, 4),
+        "frames_per_s": round(args.batch / step_s, 1),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "device_kind": jax.devices()[0].device_kind,
         "loss": float(stats["loss"]),
     }))
 
