@@ -96,6 +96,9 @@ class Config:
     save_dir: str = "exp"
 
     # model
+    train_dtype: str = "float32"   # float32 | bfloat16 — activation dtype for
+                                   # training (params/optimizer stay f32; the
+                                   # loss upcasts head maps to f32)
     head_conv: int = -1            # -1 -> 256 for dla/hourglass, 64 for res
     down_ratio: int = 4
     rep: str = "cartesian"         # cartesian | polar | polar_fixed

@@ -129,6 +129,77 @@ def deform_conv2d(
     return out.astype(x.dtype)
 
 
+def deform_conv2d_tapwise(
+    x: jnp.ndarray,
+    offsets: jnp.ndarray,
+    masks: jnp.ndarray,
+    weights: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """deform_conv2d computed one 3x3 tap at a time, each tap checkpointed.
+
+    Same math as deform_conv2d (one flat row-gather per corner + MXU
+    contraction), but the (B,H,W,9,Cin) sampled tensor never exists: each
+    of the 9 taps samples (4 gathers over (B*H*W,Cin)) and immediately
+    contracts to a (B*H*W,Cout) contribution.  jax.checkpoint around each
+    tap keeps only the tap's INPUTS as autodiff residuals, so backward
+    recomputes one tap's gathers at a time — peak temp memory drops ~9x
+    vs the fused formulation, which is what lets the paper-scale DLA-34
+    train step (batch 8, 512x1024, 18 DCN nodes) fit 16G HBM.  Numerics
+    match deform_conv2d up to accumulation order.
+    """
+    b, h, w, cin = x.shape
+    cout = weights.shape[-1]
+
+    gy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    gx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ky = jnp.repeat(jnp.arange(-1, 2, dtype=jnp.float32), 3)  # (9,)
+    kx = jnp.tile(jnp.arange(-1, 2, dtype=jnp.float32), 3)    # (9,)
+
+    off = offsets.reshape(b, h, w, 9, 2).astype(jnp.float32)
+    # (9, B, H, W) absolute sample coords per tap
+    sy = jnp.moveaxis(gy[None, :, :, None] + ky[None, None, None, :]
+                      + off[..., 0], -1, 0)
+    sx = jnp.moveaxis(gx[None, :, :, None] + kx[None, None, None, :]
+                      + off[..., 1], -1, 0)
+    wk = weights.reshape(9, cin, cout)         # (9, Cin, Cout)
+
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None, None] * (h * w)
+    xf = x.reshape(b * h * w, cin)
+
+    @jax.checkpoint
+    def tap_contrib(xf, tsy, tsx, tmk, twk):
+        y0 = jnp.floor(tsy)
+        x0 = jnp.floor(tsx)
+        fy = (tsy - y0)[..., None].astype(x.dtype)
+        fx = (tsx - x0)[..., None].astype(x.dtype)
+        y0 = y0.astype(jnp.int32)
+        x0 = x0.astype(jnp.int32)
+
+        def tap(yi, xi):
+            inb = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            idx = bidx + jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
+            v = jnp.take(xf, idx, axis=0)
+            return jnp.where(inb[..., None], v, 0)
+
+        s = (tap(y0, x0) * (1 - fy) * (1 - fx)
+             + tap(y0, x0 + 1) * (1 - fy) * fx
+             + tap(y0 + 1, x0) * fy * (1 - fx)
+             + tap(y0 + 1, x0 + 1) * fy * fx)
+        s = s * tmk[..., None]
+        return jax.lax.dot_general(
+            s.reshape(b * h * w, cin), twk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    out = tap_contrib(xf, sy[0], sx[0], masks[..., 0], wk[0])
+    for k in range(1, 9):
+        out = out + tap_contrib(xf, sy[k], sx[k], masks[..., k], wk[k])
+    out = out.reshape(b, h, w, cout)
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
 @jax.custom_vjp
 def _deform_conv2d_fast(x, offsets, masks, weights, bias):
     """Pallas forward + XLA-autodiff backward (identical math)."""
@@ -147,6 +218,26 @@ def _dc_bwd(res, g):
 
 
 _deform_conv2d_fast.defvjp(_dc_fwd, _dc_bwd)
+
+
+# Above this many elements in the (B,H,W,9,Cin) sampled tensor, wrap the
+# sampling+contraction in jax.checkpoint so autodiff recomputes the gathers
+# instead of keeping ~4 tensors of that size alive as residuals across all
+# 18 DCN nodes (DLA-34 batch-8 512x1024 training OOMs 16G HBM without this).
+# Remat is free at inference (checkpoint only affects grad) and the bwd
+# recompute is one extra gather+multiply sweep per node.
+_REMAT_ELEMS = 1 << 26
+
+
+def _dcn_remat_on(b: int, h: int, w: int, cin: int) -> bool:
+    import os
+    env = os.environ.get("CENTERPOLY_DCN_REMAT", "auto").lower()
+    if env in ("0", "off", "false"):
+        return False
+    if env in ("1", "on", "true"):
+        return True
+    thresh = int(env) if env.isdigit() else _REMAT_ELEMS
+    return b * h * w * 9 * cin > thresh
 
 
 def use_pallas_dcn(h: int, w: int, c: int, cout: int) -> bool:
@@ -197,7 +288,7 @@ class DCNv2(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         cin = x.shape[-1]
         # 27 = 18 offsets + 9 masks
         om = nn.Conv(
@@ -231,8 +322,15 @@ class DCNv2(nn.Module):
                 return deform_conv2d_halo(
                     x, offsets, masks, weights.astype(x.dtype),
                     bias.astype(x.dtype), r)
-        return deform_conv2d(x, offsets, masks, weights.astype(x.dtype),
-                             bias.astype(x.dtype))
+        fn = deform_conv2d
+        if train and _dcn_remat_on(x.shape[0], h, w, cin):
+            # training at paper scale: the (B,H,W,9,Cin) sampled tensor and
+            # its autodiff residuals OOM 16G HBM across 18 DCN nodes; the
+            # tapwise formulation keeps per-tap temps at (B,H,W,Cin) and
+            # recomputes one tap's gathers at a time in backward
+            fn = deform_conv2d_tapwise
+        return fn(x, offsets, masks, weights.astype(x.dtype),
+                  bias.astype(x.dtype))
 
 
 class DeformConvBlock(nn.Module):
@@ -242,7 +340,7 @@ class DeformConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = DCNv2(self.features, dtype=self.dtype)(x)
+        x = DCNv2(self.features, dtype=self.dtype)(x, train)
         x = nn.BatchNorm(use_running_average=not train,
                          momentum=BN_MOMENTUM, dtype=self.dtype)(x)
         return nn.relu(x)

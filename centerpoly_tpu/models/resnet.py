@@ -103,7 +103,7 @@ class ResNetDet(nn.Module):
         widths = (256, 128, 64) if self.use_dcn else (256, 256, 256)
         for i, feats in enumerate(widths):
             if self.use_dcn:
-                x = DCNv2(feats, dtype=self.dtype, name=f"dcn_{i}")(x)
+                x = DCNv2(feats, dtype=self.dtype, name=f"dcn_{i}")(x, train)
                 x = nn.BatchNorm(use_running_average=not train,
                                  momentum=BN_MOMENTUM, dtype=self.dtype,
                                  name=f"dcn_bn_{i}")(x)

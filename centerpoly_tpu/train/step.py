@@ -51,6 +51,11 @@ def make_train_step(loss_cfg: PolydetLossConfig,
             variables, batch["input"], train=True,
             mutable=["batch_stats"] if batch_stats else [],
         )
+        # bf16 models (cfg.train_dtype) emit bf16 head maps; all loss math
+        # runs in f32 regardless of the activation dtype
+        outs = jax.tree.map(
+            lambda a: a.astype(jnp.float32)
+            if a.dtype == jnp.bfloat16 else a, outs)
         loss, stats = task_loss(outs, batch, loss_cfg)
         new_stats = mutated.get("batch_stats", batch_stats) if batch_stats \
             else batch_stats

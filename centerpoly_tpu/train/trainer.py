@@ -83,7 +83,9 @@ class Trainer:
         # the batch axis shards over the mesh — it must divide evenly
         use_mesh = use_mesh and n_dev > 1 and cfg.batch_size % n_dev == 0
         self.mesh = make_mesh() if use_mesh else None
-        model = create_model(cfg.arch, cfg.heads, cfg.head_conv)
+        dtype = jnp.bfloat16 if cfg.train_dtype in (
+            "bf16", "bfloat16") else jnp.float32
+        model = create_model(cfg.arch, cfg.heads, cfg.head_conv, dtype=dtype)
         steps_per_epoch = max(1, len(train_loader))
         self.state = create_train_state(
             model, jax.random.PRNGKey(cfg.seed),

@@ -1,0 +1,85 @@
+"""Microbench: deform_conv2d forward vs backward cost per DLA-34 node shape.
+
+Isolates which gradient (dx / doffsets / dmasks / dweights) dominates the
+train-step cost of the 18 DCN nodes (the gather's transpose is a
+scatter-add, historically slow on TPU).
+
+    python experiments/bench_dcn_bwd.py [--dtype bfloat16]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def timeit(fn, *args, n=10):
+    import jax
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--batch", type=int, default=8)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from centerpoly_tpu.models.deform_conv import deform_conv2d
+
+    dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    b = args.batch
+    # the IDAUp/DLAUp node shapes of DLA-34 at 512x1024 input
+    shapes = [
+        (b, 128, 256, 64, 64),
+        (b, 64, 128, 128, 128),
+        (b, 32, 64, 256, 256),
+        (b, 128, 256, 128, 64),
+        (b, 64, 128, 256, 128),
+    ]
+    rng = np.random.RandomState(0)
+    rows = []
+    for (bb, h, w, cin, cout) in shapes:
+        x = jnp.asarray(rng.randn(bb, h, w, cin), dt)
+        off = jnp.asarray(rng.randn(bb, h, w, 18) * 2, dt)
+        mask = jnp.asarray(rng.rand(bb, h, w, 9), dt)
+        wgt = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.05, dt)
+        bias = jnp.zeros((cout,), dt)
+
+        fwd = jax.jit(deform_conv2d)
+        t_fwd = timeit(fwd, x, off, mask, wgt, bias)
+
+        def loss(x, off, mask, wgt, bias):
+            return jnp.sum(deform_conv2d(x, off, mask, wgt, bias)
+                           .astype(jnp.float32) ** 2)
+
+        row = {"shape": f"{bb}x{h}x{w}x{cin}->{cout}",
+               "fwd_ms": round(t_fwd * 1e3, 2)}
+        for name, argnum in [("dx", 0), ("doff", 1), ("dmask", 2),
+                             ("dw", 3)]:
+            g = jax.jit(jax.grad(loss, argnums=argnum))
+            row[f"{name}_ms"] = round(timeit(g, x, off, mask, wgt, bias)
+                                      * 1e3, 2)
+        g_all = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+        row["dall_ms"] = round(timeit(g_all, x, off, mask, wgt, bias) * 1e3,
+                               2)
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

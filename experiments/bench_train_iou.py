@@ -32,6 +32,8 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--poly_loss", default="l1+iou")
     p.add_argument("--rep", default="polar")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args()
 
     import jax
@@ -43,8 +45,10 @@ def main():
     cfg = Config(task="polydet", dataset="cityscapes", arch=args.arch,
                  input_h=args.h, input_w=args.w, batch_size=args.batch,
                  poly_loss=args.poly_loss, poly_order=args.rep == "polar",
-                 rep=args.rep, elliptical_gt=True)
-    model = create_model(cfg.arch, cfg.heads, cfg.head_conv)
+                 rep=args.rep, elliptical_gt=True, train_dtype=args.dtype)
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = create_model(cfg.arch, cfg.heads, cfg.head_conv, dtype=dtype)
     state = create_train_state(
         model, jax.random.PRNGKey(0), (1, cfg.input_h, cfg.input_w, 3),
         base_lr=cfg.lr, lr_steps=cfg.lr_step, steps_per_epoch=100)
@@ -102,7 +106,8 @@ def main():
     print(json.dumps({
         "config": f"{args.arch} {args.batch}x{args.h}x{args.w} "
                   f"focal+{args.poly_loss}"
-                  f"{'+order' if cfg.poly_order else ''} ({args.rep})",
+                  f"{'+order' if cfg.poly_order else ''} ({args.rep}, "
+                  f"{args.dtype})",
         "compile_s": round(compile_s, 2),
         "step_s": round(step_s, 4),
         "frames_per_s": round(args.batch / step_s, 1),

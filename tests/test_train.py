@@ -96,6 +96,80 @@ class TestTrainStep:
                                    float(stats2["loss"]), rtol=1e-4)
 
 
+class TestMixedPrecision:
+    def test_bf16_train_step_finite_and_close_to_f32(self):
+        # cfg.train_dtype=bfloat16: bf16 activations, f32 params/optimizer,
+        # loss math upcast to f32 in make_train_step.loss_fn
+        heads = {"hm": 2, "poly": 8, "pseudo_depth": 1, "reg": 2}
+        batch = {k: jnp.asarray(v) for k, v in tiny_batch().items()}
+        losses = {}
+        for dtype in (jnp.float32, jnp.bfloat16):
+            model = create_model("res_18", heads, head_conv=32, dtype=dtype)
+            state = create_train_state(model, jax.random.PRNGKey(0),
+                                       (1, 32, 64, 3), base_lr=1e-3)
+            step = make_train_step(PolydetLossConfig())
+            state, stats = step(state, batch)
+            assert jax.tree_util.tree_all(jax.tree.map(
+                lambda a: a.dtype != jnp.bfloat16, state.params)), \
+                "params must stay f32 under bf16 activations"
+            losses[dtype] = float(stats["loss"])
+        assert np.isfinite(losses[jnp.bfloat16])
+        assert abs(losses[jnp.bfloat16] - losses[jnp.float32]) < 0.05 * (
+            1 + abs(losses[jnp.float32]))
+
+    def test_dcn_remat_gate(self):
+        import os
+        from centerpoly_tpu.models.deform_conv import _dcn_remat_on
+        assert not _dcn_remat_on(1, 64, 128, 256)       # small: no remat
+        assert _dcn_remat_on(8, 128, 256, 64)           # paper-scale: remat
+        os.environ["CENTERPOLY_DCN_REMAT"] = "0"
+        try:
+            assert not _dcn_remat_on(8, 128, 256, 64)
+        finally:
+            del os.environ["CENTERPOLY_DCN_REMAT"]
+
+    def test_tapwise_dcn_matches_fused(self):
+        # the training-scale formulation must match values AND grads
+        from centerpoly_tpu.models.deform_conv import (
+            deform_conv2d, deform_conv2d_tapwise)
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(2, 8, 10, 4), jnp.float32)
+        off = jnp.asarray(rng.randn(2, 8, 10, 18) * 2, jnp.float32)
+        mask = jnp.asarray(rng.rand(2, 8, 10, 9), jnp.float32)
+        w = jnp.asarray(rng.randn(3, 3, 4, 6) * 0.1, jnp.float32)
+        b = jnp.asarray(rng.randn(6) * 0.1, jnp.float32)
+        y1 = deform_conv2d(x, off, mask, w, b)
+        y2 = deform_conv2d_tapwise(x, off, mask, w, b)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   rtol=1e-5, atol=1e-5)
+        f = lambda fn: lambda *a: jnp.sum(fn(*a) ** 2)
+        g1 = jax.grad(f(deform_conv2d), argnums=(0, 1, 2, 3, 4))(
+            x, off, mask, w, b)
+        g2 = jax.grad(f(deform_conv2d_tapwise), argnums=(0, 1, 2, 3, 4))(
+            x, off, mask, w, b)
+        for a, c in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_remat_dcn_grads_match_no_remat(self):
+        # jax.checkpoint must not change values or grads
+        from centerpoly_tpu.models.deform_conv import deform_conv2d
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(1, 8, 8, 4), jnp.float32)
+        off = jnp.asarray(rng.randn(1, 8, 8, 18), jnp.float32)
+        mask = jnp.asarray(rng.rand(1, 8, 8, 9), jnp.float32)
+        w = jnp.asarray(rng.randn(3, 3, 4, 6) * 0.1, jnp.float32)
+        b = jnp.zeros((6,), jnp.float32)
+        f = lambda fn, *a: jnp.sum(fn(*a) ** 2)
+        g1 = jax.grad(lambda *a: f(deform_conv2d, *a), argnums=(0, 1, 2, 3))(
+            x, off, mask, w, b)
+        g2 = jax.grad(lambda *a: f(jax.checkpoint(deform_conv2d), *a),
+                      argnums=(0, 1, 2, 3))(x, off, mask, w, b)
+        for a, c in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-5, atol=1e-5)
+
+
 class TestEvalStep:
     def test_eval(self):
         model = make_tiny_model()
