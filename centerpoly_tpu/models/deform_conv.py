@@ -129,6 +129,85 @@ def deform_conv2d(
     return out.astype(x.dtype)
 
 
+def deform_conv2d_pairs(
+    x: jnp.ndarray,
+    offsets: jnp.ndarray,
+    masks: jnp.ndarray,
+    weights: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """deform_conv2d with pairwise corner gathers.
+
+    Identical math to deform_conv2d, but exploits that the two x-corners
+    (y, x0) and (y, x0+1) of a bilinear sample are ADJACENT Cin-blocks in
+    the row-major (B*H*W*Cin,) flat feature map: one lax.gather of a
+    contiguous 2*Cin slice fetches both corners.  That halves the gather
+    op count (2 instead of 4) and doubles the contiguous chunk size
+    (2*Cin*2B = 256 B at Cin=64 bf16), which is the efficient regime for
+    the TPU gather unit.  Out-of-image corners are masked to zero exactly
+    as in deform_conv2d; at the right image edge the slice start is
+    clamped to x0=w-2 and the two halves are swapped via a select, which
+    reproduces the unclamped corner values wherever they are in range.
+    """
+    b, h, w, cin = x.shape
+    cout = weights.shape[-1]
+
+    gy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    gx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ky = jnp.repeat(jnp.arange(-1, 2, dtype=jnp.float32), 3)  # (9,)
+    kx = jnp.tile(jnp.arange(-1, 2, dtype=jnp.float32), 3)    # (9,)
+
+    off = offsets.reshape(b, h, w, 9, 2).astype(jnp.float32)
+    sy = gy[None, :, :, None] + ky[None, None, None, :] + off[..., 0]
+    sx = gx[None, :, :, None] + kx[None, None, None, :] + off[..., 1]
+
+    y0f = jnp.floor(sy)
+    x0f = jnp.floor(sx)
+    fy = (sy - y0f)[..., None].astype(x.dtype)
+    fx = (sx - x0f)[..., None].astype(x.dtype)
+    y0 = y0f.astype(jnp.int32)
+    x0 = x0f.astype(jnp.int32)
+
+    x0c = jnp.clip(x0, 0, w - 2)
+    # swap the pair halves where the slice start was clamped DOWN
+    # (x0 == w-1: half0 is x0-1, half1 is x0); when x0 is clamped UP
+    # (x0 < 0) the only possibly-in-range corner is x0+1 == half0 at 0
+    straight = (x0 == x0c)[..., None]
+
+    bidx = jnp.arange(b, dtype=jnp.int32)[:, None, None, None] * (h * w)
+    flat = x.reshape(b * h * w * cin)
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(4,), collapsed_slice_dims=(), start_index_map=(0,))
+
+    def pair(yi):
+        yc = jnp.clip(yi, 0, h - 1)
+        start = ((bidx + yc * w + x0c) * cin)[..., None]
+        v = jax.lax.gather(
+            flat, start, dnums, slice_sizes=(2 * cin,), mode="clip")
+        v0, v1 = v[..., :cin], v[..., cin:]
+        vx0 = jnp.where(straight, v0, v1)
+        vx1 = jnp.where(straight, v1, v0)
+        yin = (yi >= 0) & (yi < h)
+        in00 = (yin & (x0 >= 0) & (x0 < w))[..., None]
+        in01 = (yin & (x0 + 1 >= 0) & (x0 + 1 < w))[..., None]
+        return (jnp.where(in00, vx0, 0) * (1 - fx)
+                + jnp.where(in01, vx1, 0) * fx)
+
+    sampled = pair(y0) * (1 - fy) + pair(y0 + 1) * fy
+    sampled = sampled * masks[..., None]
+
+    out = jnp.einsum(
+        "bhwkc,kco->bhwo",
+        sampled,
+        weights.reshape(9, cin, cout),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
 def deform_conv2d_tapwise(
     x: jnp.ndarray,
     offsets: jnp.ndarray,
@@ -322,13 +401,22 @@ class DCNv2(nn.Module):
                 return deform_conv2d_halo(
                     x, offsets, masks, weights.astype(x.dtype),
                     bias.astype(x.dtype), r)
-        fn = deform_conv2d
-        if train and _dcn_remat_on(x.shape[0], h, w, cin):
-            # training at paper scale: the (B,H,W,9,Cin) sampled tensor and
-            # its autodiff residuals OOM 16G HBM across 18 DCN nodes; the
-            # tapwise formulation keeps per-tap temps at (B,H,W,Cin) and
-            # recomputes one tap's gathers at a time in backward
+        # tapwise is the production formulation: honestly-timed (scan-
+        # differenced) it beats the fused 4-corner gather at every DLA-34
+        # node shape (1.6x at stride-4 — less temp traffic per gather),
+        # and its per-tap jax.checkpoint is what keeps paper-scale
+        # training inside HBM.  CENTERPOLY_DCN_FORMULATION=fused restores
+        # the single-einsum form (also used by small shapes where the
+        # 9-segment graph isn't worth the compile time).
+        import os
+        form = os.environ.get("CENTERPOLY_DCN_FORMULATION", "auto").lower()
+        big = x.shape[0] * h * w * 9 * cin > (1 << 22)
+        if form == "tapwise" or (form == "auto"
+                                 and (big or (train and _dcn_remat_on(
+                                     x.shape[0], h, w, cin)))):
             fn = deform_conv2d_tapwise
+        else:
+            fn = deform_conv2d
         return fn(x, offsets, masks, weights.astype(x.dtype),
                   bias.astype(x.dtype))
 

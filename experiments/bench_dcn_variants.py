@@ -1,0 +1,105 @@
+"""Honest (scan-differenced) device-time comparison of DCNv2 forward
+formulations at the DLA-34 inference node shapes.
+
+Variants: XLA 4-corner gather (production), pairwise 2C-slice gather,
+tapwise, Pallas halo kernel (R=4, clamped-offset semantics), and a plain
+3x3 conv as the speed-of-light floor (the DCN contraction does the same
+MXU work; everything above the floor is sampling overhead).
+
+    python experiments/bench_dcn_variants.py [--batch 1] [--dtype bfloat16]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--halo_r", type=int, default=4)
+    args = p.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), ".jax_cache"))
+    import jax
+    import jax.numpy as jnp
+    from centerpoly_tpu.models.deform_conv import (
+        deform_conv2d, deform_conv2d_pairs, deform_conv2d_tapwise)
+    from centerpoly_tpu.utils.timing import measure_device_time
+
+    dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    b = args.batch
+    # DLA-34 @ 512x1024 inference feature shapes (stride 4/8/16)
+    shapes = [(b, 128, 256, 64, 64),
+              (b, 64, 128, 128, 128),
+              (b, 32, 64, 256, 256)]
+    rng = np.random.RandomState(0)
+    R = float(args.halo_r)
+
+    for (bb, h, w, cin, cout) in shapes:
+        x = jnp.asarray(rng.randn(bb, h, w, cin), dt)
+        # clamped offsets so ALL variants (incl. halo) compute the same fn
+        off = jnp.clip(jnp.asarray(rng.randn(bb, h, w, 18) * 2, dt), -R, R)
+        mask = jnp.asarray(rng.rand(bb, h, w, 9), dt)
+        wgt = jnp.asarray(rng.randn(3, 3, cin, cout) * 0.05, dt)
+        bias = jnp.zeros((cout,), dt)
+
+        variants = {
+            "xla_4corner": lambda *a: deform_conv2d(*a),
+            "xla_pairs": lambda *a: deform_conv2d_pairs(*a),
+            "xla_tapwise": lambda *a: deform_conv2d_tapwise(*a),
+        }
+        try:
+            from centerpoly_tpu.kernels.dcn_halo import (
+                deform_conv2d_halo, halo_supported)
+            if halo_supported(h, w, cin, cout, int(R)):
+                variants["pallas_halo"] = (
+                    lambda *a: deform_conv2d_halo(*a, int(R)))
+        except Exception:
+            pass
+
+        row = {"shape": f"{bb}x{h}x{w}x{cin}->{cout}"}
+
+        # floor: plain 3x3 conv (same MXU work as the DCN contraction)
+        def conv_floor(eps, x, wgt):
+            return jnp.sum(jax.lax.conv_general_dilated(
+                (x + eps.astype(x.dtype)), wgt, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32))
+
+        row["conv3x3_floor_ms"] = round(
+            measure_device_time(conv_floor, (x, wgt)) * 1e3, 3)
+
+        ref = None
+        for name, fn in variants.items():
+            out = jax.jit(fn)(x, off, mask, wgt, bias)
+            outf = np.asarray(out.astype(jnp.float32))
+            if ref is None:
+                ref = outf
+            else:
+                rel = float(np.max(np.abs(outf - ref))
+                            / (np.max(np.abs(ref)) + 1e-9))
+                row[f"{name}_relerr"] = round(rel, 5)
+
+            def scalar(eps, x, off, mask, wgt, bias, fn=fn):
+                return jnp.sum(fn(x + eps.astype(x.dtype), off, mask, wgt,
+                                  bias).astype(jnp.float32))
+
+            row[f"{name}_ms"] = round(measure_device_time(
+                scalar, (x, off, mask, wgt, bias)) * 1e3, 3)
+
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Honest per-component device-time profile of the polydet pipeline.
+
+Uses scan-differencing (utils/timing.py) because wall-clock fences lie on
+this harness.  Components: warp, DLA trunk, full DLA-34 forward (trunk +
+DCN upsampling + heads), decode, full pipeline, and the dlav0 (no-DCN)
+forward for contrast — the difference isolates the 18 DCNv2 nodes.
+
+    python experiments/profile_inference.py [--arch dla_34]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--h", type=int, default=512)
+    p.add_argument("--w", type=int, default=1024)
+    args = p.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.join(os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))), ".jax_cache"))
+    import jax
+    import jax.numpy as jnp
+    from centerpoly_tpu.configs import Config
+    from centerpoly_tpu.geometry.affine import warp_axis_aligned
+    from centerpoly_tpu.infer.detector import PolydetDetector
+    from centerpoly_tpu.utils.timing import measure_device_time
+
+    rows = {}
+
+    def report(name, seconds):
+        rows[name] = seconds
+        print(json.dumps({"component": name,
+                          "device_ms": round(seconds * 1e3, 3)}),
+              flush=True)
+
+    rng = np.random.RandomState(0)
+
+    for arch in ("dla_34", "dlav0_34"):
+        cfg = Config(task="polydet", dataset="cityscapes", arch=arch,
+                     input_h=args.h, input_w=args.w)
+        det = PolydetDetector(cfg)
+        img = jax.device_put(
+            rng.randn(1, cfg.input_h, cfg.input_w, 3).astype(np.float32))
+
+        def fwd(eps, variables, img):
+            outs = det.model.apply(variables, img + eps, train=False)
+            return sum(jnp.sum(v.astype(jnp.float32))
+                       for v in outs[-1].values())
+
+        report(f"{arch}_forward",
+               measure_device_time(fwd, (det.variables, img)))
+
+        if arch == "dla_34":
+            # trunk only (no DCN upsampling, no heads)
+            def trunk(eps, variables, img):
+                feats = det.model.apply(variables, img + eps, train=False,
+                                        method=lambda m, x, train: m.trunk(
+                                            x, train))
+                return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
+
+            try:
+                report("dla_34_trunk",
+                       measure_device_time(trunk, (det.variables, img)))
+            except Exception as e:
+                print("trunk probe skipped:", type(e).__name__, flush=True)
+
+            # full pipeline (warp + forward + decode)
+            frame = jax.device_put(
+                (rng.rand(args.h * 2, args.w * 2, 3) * 255).astype(np.uint8))
+            trans, _ = det.pre_process_meta(args.h * 2, args.w * 2, 1.0)
+            trans_dev = jax.device_put(jnp.asarray(trans, jnp.float32))
+            mean_dev = jax.device_put(jnp.asarray(cfg.mean, jnp.float32))
+            std_dev = jax.device_put(jnp.asarray(cfg.std, jnp.float32))
+
+            def warp_only(eps, frame, trans, mean, std):
+                im = warp_axis_aligned(frame.astype(jnp.float32) + eps,
+                                       trans, (cfg.input_h, cfg.input_w))
+                return jnp.sum(((im / 255.0 - mean) / std))
+
+            report("warp_normalize",
+                   measure_device_time(
+                       warp_only, (frame, trans_dev, mean_dev, std_dev)))
+
+            def full(eps, variables, frame, trans, mean, std):
+                im = warp_axis_aligned(frame.astype(jnp.float32) + eps,
+                                       trans, (cfg.input_h, cfg.input_w))
+                im = ((im / 255.0 - mean) / std)[None]
+                _, dets = det._process_device(variables, im)
+                return jnp.sum(dets.astype(jnp.float32))
+
+            report("full_pipeline",
+                   measure_device_time(
+                       full, (det.variables, frame, trans_dev, mean_dev,
+                              std_dev)))
+
+            # decode on fixed head maps
+            outs = jax.jit(lambda v, x: det.model.apply(v, x, train=False))(
+                det.variables, img)
+            head_maps = {k: jax.device_put(np.asarray(v))
+                         for k, v in outs[-1].items()}
+
+            def decode_only(eps, head_maps):
+                hm = {k: (v + eps.astype(v.dtype) if k == "hm" else v)
+                      for k, v in head_maps.items()}
+                from centerpoly_tpu.ops.decode import polydet_decode
+                dets = polydet_decode(
+                    hm["hm"], hm["poly"], hm["pseudo_depth"],
+                    reg=hm.get("reg"), k=cfg.K, rep=cfg.rep)
+                return jnp.sum(dets.astype(jnp.float32))
+
+            try:
+                report("decode",
+                       measure_device_time(decode_only, (head_maps,)))
+            except Exception as e:
+                print("decode probe skipped:", type(e).__name__, repr(e),
+                      flush=True)
+
+    if "dla_34_forward" in rows and "dlav0_34_forward" in rows:
+        print(json.dumps({
+            "component": "dcn_upsampling_cost (dla34 - dlav0)",
+            "device_ms": round((rows["dla_34_forward"]
+                                - rows["dlav0_34_forward"]) * 1e3, 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -151,6 +151,41 @@ class TestMixedPrecision:
             np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                        rtol=1e-4, atol=1e-5)
 
+    def test_pairs_dcn_matches_fused(self):
+        # edge-clamped pairwise corner gathers must reproduce the exact
+        # zero-padding semantics, including samples off every image edge
+        from centerpoly_tpu.models.deform_conv import (
+            deform_conv2d, deform_conv2d_pairs)
+        rng = np.random.RandomState(1)
+        for (b, h, w, c, co) in [(2, 8, 10, 4, 6), (1, 5, 7, 8, 3)]:
+            x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+            off = jnp.asarray(rng.randn(b, h, w, 18) * 3, jnp.float32)
+            mask = jnp.asarray(rng.rand(b, h, w, 9), jnp.float32)
+            wt = jnp.asarray(rng.randn(3, 3, c, co) * 0.1, jnp.float32)
+            bs = jnp.asarray(rng.randn(co) * 0.1, jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(deform_conv2d(x, off, mask, wt, bs)),
+                np.asarray(deform_conv2d_pairs(x, off, mask, wt, bs)),
+                rtol=1e-5, atol=1e-5)
+
+    def test_measure_device_time_scales(self):
+        # scan-differencing must scale ~linearly with per-call work
+        from centerpoly_tpu.utils.timing import measure_device_time
+        x = jnp.ones((256, 256), jnp.float32)
+
+        def one(eps, x):
+            return jnp.sum((x + eps) @ x)
+
+        def four(eps, x):
+            y = x + eps
+            for _ in range(4):
+                y = y @ x
+            return jnp.sum(y)
+
+        t1 = measure_device_time(one, (x,), reps=3)
+        t4 = measure_device_time(four, (x,), reps=3)
+        assert t4 > 2 * t1, (t1, t4)
+
     def test_remat_dcn_grads_match_no_remat(self):
         # jax.checkpoint must not change values or grads
         from centerpoly_tpu.models.deform_conv import deform_conv2d
