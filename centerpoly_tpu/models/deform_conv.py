@@ -208,6 +208,129 @@ def deform_conv2d_pairs(
     return out.astype(x.dtype)
 
 
+def _quad_views(x: jnp.ndarray):
+    """Four parity-strided copies of x whose 2x2 pixel blocks are
+    contiguous 4*Cin chunks.
+
+    View (p, q) holds cells starting at rows ≡ p (mod 2) and cols ≡ q
+    (mod 2); cell (b, y2, x2) is the 2x2 block at (2*y2+p, 2*x2+q) laid
+    out [r0c0, r0c1, r1c0, r1c1] along the last axis.  Returns the
+    concatenated (ΣN_pq, 4*Cin) operand plus int32 per-view (base, hp,
+    wq) tables for index arithmetic.
+    """
+    b, h, w, c = x.shape
+    flats = []
+    bases, hps, wqs = [], [], []
+    base = 0
+    for p in (0, 1):
+        for q in (0, 1):
+            hp = (h - p) // 2
+            wq = (w - q) // 2
+            v = x[:, p:p + 2 * hp, q:q + 2 * wq, :]
+            v = v.reshape(b, hp, 2, wq, 2, c)
+            v = v.transpose(0, 1, 3, 2, 4, 5).reshape(b * hp * wq, 4 * c)
+            flats.append(v)
+            bases.append(base)
+            hps.append(hp)
+            wqs.append(wq)
+            base += b * hp * wq
+    operand = jnp.concatenate(flats, axis=0)
+    return (operand, jnp.asarray(bases, jnp.int32),
+            jnp.asarray(hps, jnp.int32), jnp.asarray(wqs, jnp.int32))
+
+
+def deform_conv2d_quad(
+    x: jnp.ndarray,
+    offsets: jnp.ndarray,
+    masks: jnp.ndarray,
+    weights: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """deform_conv2d with ONE gather per (pixel, tap): quad-view chunks.
+
+    The TPU gather unit is chunk-rate-bound (~233-308M chunks/s measured,
+    5% of HBM bandwidth), so the win is fewer, larger chunks: re-layout
+    x into four parity-strided copies (_quad_views) whose 2x2 pixel
+    blocks are contiguous 4*Cin chunks (512 B at Cin=64 bf16), then fetch
+    ALL FOUR bilinear corners of a sample with a single jnp.take row —
+    4x fewer chunks than the fused 4-corner formulation.  Out-of-image
+    corners are masked to zero exactly as deform_conv2d; at image edges
+    the cell start is clamped and the needed corners are re-selected
+    from the chunk (clamping never moves an in-range corner out of the
+    fetched 2x2 block).  Math identical to deform_conv2d.
+    """
+    b, h, w, cin = x.shape
+    cout = weights.shape[-1]
+    assert h >= 3 and w >= 3, "quad views need h, w >= 3"
+
+    gy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    gx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ky = jnp.repeat(jnp.arange(-1, 2, dtype=jnp.float32), 3)  # (9,)
+    kx = jnp.tile(jnp.arange(-1, 2, dtype=jnp.float32), 3)    # (9,)
+
+    off = offsets.reshape(b, h, w, 9, 2).astype(jnp.float32)
+    sy = gy[None, :, :, None] + ky[None, None, None, :] + off[..., 0]
+    sx = gx[None, :, :, None] + kx[None, None, None, :] + off[..., 1]
+
+    y0f = jnp.floor(sy)
+    x0f = jnp.floor(sx)
+    fy = (sy - y0f)[..., None].astype(x.dtype)
+    fx = (sx - x0f)[..., None].astype(x.dtype)
+    y0 = y0f.astype(jnp.int32)
+    x0 = x0f.astype(jnp.int32)
+
+    operand, bases, hps, wqs = _quad_views(x)
+
+    ry = jnp.clip(y0, 0, h - 2)
+    cx = jnp.clip(x0, 0, w - 2)
+    p = ry & 1
+    q = cx & 1
+    vid = p * 2 + q                                  # (B,H,W,9)
+    y2 = (ry - p) >> 1
+    x2 = (cx - q) >> 1
+    bb = jnp.arange(b, dtype=jnp.int32)[:, None, None, None]
+    idx = (bases[vid]
+           + (bb * hps[vid] + y2) * wqs[vid] + x2)   # (B,H,W,9)
+
+    chunk = jnp.take(operand, idx, axis=0)           # (B,H,W,9,4C)
+    c00 = chunk[..., 0 * cin:1 * cin]
+    c01 = chunk[..., 1 * cin:2 * cin]
+    c10 = chunk[..., 2 * cin:3 * cin]
+    c11 = chunk[..., 3 * cin:4 * cin]
+
+    dy0 = jnp.clip(y0 - ry, 0, 1)[..., None]
+    dy1 = jnp.clip(y0 + 1 - ry, 0, 1)[..., None]
+    dx0 = jnp.clip(x0 - cx, 0, 1)[..., None]
+    dx1 = jnp.clip(x0 + 1 - cx, 0, 1)[..., None]
+
+    def pick(dy, dx):
+        top = jnp.where(dx == 0, c00, c01)
+        bot = jnp.where(dx == 0, c10, c11)
+        return jnp.where(dy == 0, top, bot)
+
+    def inb(yi, xi):
+        return ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))[..., None]
+
+    v00 = jnp.where(inb(y0, x0), pick(dy0, dx0), 0)
+    v01 = jnp.where(inb(y0, x0 + 1), pick(dy0, dx1), 0)
+    v10 = jnp.where(inb(y0 + 1, x0), pick(dy1, dx0), 0)
+    v11 = jnp.where(inb(y0 + 1, x0 + 1), pick(dy1, dx1), 0)
+
+    sampled = (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
+               + v10 * fy * (1 - fx) + v11 * fy * fx)
+    sampled = sampled * masks[..., None]
+
+    out = jnp.einsum(
+        "bhwkc,kco->bhwo",
+        sampled,
+        weights.reshape(9, cin, cout),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
 def deform_conv2d_tapwise(
     x: jnp.ndarray,
     offsets: jnp.ndarray,

@@ -34,7 +34,8 @@ def main():
     import jax
     import jax.numpy as jnp
     from centerpoly_tpu.models.deform_conv import (
-        deform_conv2d, deform_conv2d_pairs, deform_conv2d_tapwise)
+        deform_conv2d, deform_conv2d_pairs, deform_conv2d_quad,
+        deform_conv2d_tapwise)
     from centerpoly_tpu.utils.timing import measure_device_time
 
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -56,9 +57,11 @@ def main():
 
         variants = {
             "xla_4corner": lambda *a: deform_conv2d(*a),
-            "xla_pairs": lambda *a: deform_conv2d_pairs(*a),
+            "xla_quad": lambda *a: deform_conv2d_quad(*a),
             "xla_tapwise": lambda *a: deform_conv2d_tapwise(*a),
         }
+        if os.environ.get("BENCH_PAIRS"):
+            variants["xla_pairs"] = lambda *a: deform_conv2d_pairs(*a)
         try:
             from centerpoly_tpu.kernels.dcn_halo import (
                 deform_conv2d_halo, halo_supported)
