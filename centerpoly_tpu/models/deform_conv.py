@@ -534,9 +534,11 @@ class DCNv2(nn.Module):
         import os
         form = os.environ.get("CENTERPOLY_DCN_FORMULATION", "auto").lower()
         big = x.shape[0] * h * w * 9 * cin > (1 << 22)
-        if form == "tapwise" or (form == "auto"
-                                 and (big or (train and _dcn_remat_on(
-                                     x.shape[0], h, w, cin)))):
+        if form == "quad":
+            fn = deform_conv2d_quad
+        elif form == "tapwise" or (form == "auto"
+                                   and (big or (train and _dcn_remat_on(
+                                       x.shape[0], h, w, cin)))):
             fn = deform_conv2d_tapwise
         else:
             fn = deform_conv2d
