@@ -331,6 +331,95 @@ def deform_conv2d_quad(
     return out.astype(x.dtype)
 
 
+def deform_conv2d_quad_tapwise(
+    x: jnp.ndarray,
+    offsets: jnp.ndarray,
+    masks: jnp.ndarray,
+    weights: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Training-scale DCN: quad-view single gathers, one checkpointed tap
+    at a time.
+
+    Combines deform_conv2d_quad's 4x chunk-count reduction (one 4*Cin
+    chunk fetches all four bilinear corners; the take's TRANSPOSE is then
+    also a 4x-fewer-chunk scatter-add, which is the training win) with
+    deform_conv2d_tapwise's memory shape: each tap's gather+contraction
+    is wrapped in jax.checkpoint so only the tap inputs persist as
+    autodiff residuals.  The quad operand is built once per call and
+    shared by all taps (it is one extra 4x-of-x residual; the per-tap
+    temps stay (B,H,W,4Cin)).  Math identical to deform_conv2d.
+    """
+    b, h, w, cin = x.shape
+    cout = weights.shape[-1]
+    assert h >= 3 and w >= 3, "quad views need h, w >= 3"
+
+    gy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    gx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ky = jnp.repeat(jnp.arange(-1, 2, dtype=jnp.float32), 3)  # (9,)
+    kx = jnp.tile(jnp.arange(-1, 2, dtype=jnp.float32), 3)    # (9,)
+
+    off = offsets.reshape(b, h, w, 9, 2).astype(jnp.float32)
+    sy = jnp.moveaxis(gy[None, :, :, None] + ky[None, None, None, :]
+                      + off[..., 0], -1, 0)        # (9,B,H,W)
+    sx = jnp.moveaxis(gx[None, :, :, None] + kx[None, None, None, :]
+                      + off[..., 1], -1, 0)
+    wk = weights.reshape(9, cin, cout)
+
+    operand, bases, hps, wqs = _quad_views(x)
+    bb = jnp.arange(b, dtype=jnp.int32)[:, None, None]
+
+    @jax.checkpoint
+    def tap_contrib(operand, tsy, tsx, tmk, twk):
+        y0f = jnp.floor(tsy)
+        x0f = jnp.floor(tsx)
+        fy = (tsy - y0f)[..., None].astype(x.dtype)
+        fx = (tsx - x0f)[..., None].astype(x.dtype)
+        y0 = y0f.astype(jnp.int32)
+        x0 = x0f.astype(jnp.int32)
+        ry = jnp.clip(y0, 0, h - 2)
+        cx = jnp.clip(x0, 0, w - 2)
+        p = ry & 1
+        q = cx & 1
+        vid = p * 2 + q
+        idx = (bases[vid] + (bb * hps[vid] + ((ry - p) >> 1)) * wqs[vid]
+               + ((cx - q) >> 1))                   # (B,H,W)
+        chunk = jnp.take(operand, idx, axis=0)      # (B,H,W,4C)
+        c00 = chunk[..., 0 * cin:1 * cin]
+        c01 = chunk[..., 1 * cin:2 * cin]
+        c10 = chunk[..., 2 * cin:3 * cin]
+        c11 = chunk[..., 3 * cin:4 * cin]
+        dy0 = jnp.clip(y0 - ry, 0, 1)[..., None]
+        dy1 = jnp.clip(y0 + 1 - ry, 0, 1)[..., None]
+        dx0 = jnp.clip(x0 - cx, 0, 1)[..., None]
+        dx1 = jnp.clip(x0 + 1 - cx, 0, 1)[..., None]
+
+        def pick(dy, dx):
+            top = jnp.where(dx == 0, c00, c01)
+            bot = jnp.where(dx == 0, c10, c11)
+            return jnp.where(dy == 0, top, bot)
+
+        def inb(yi, xi):
+            return ((yi >= 0) & (yi < h) & (xi >= 0) & (xi < w))[..., None]
+
+        s = (jnp.where(inb(y0, x0), pick(dy0, dx0), 0) * (1 - fy) * (1 - fx)
+             + jnp.where(inb(y0, x0 + 1), pick(dy0, dx1), 0) * (1 - fy) * fx
+             + jnp.where(inb(y0 + 1, x0), pick(dy1, dx0), 0) * fy * (1 - fx)
+             + jnp.where(inb(y0 + 1, x0 + 1), pick(dy1, dx1), 0) * fy * fx)
+        s = s * tmk[..., None]
+        return jax.lax.dot_general(
+            s.reshape(b * h * w, cin), twk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    out = tap_contrib(operand, sy[0], sx[0], masks[..., 0], wk[0])
+    for k in range(1, 9):
+        out = out + tap_contrib(operand, sy[k], sx[k], masks[..., k], wk[k])
+    out = out.reshape(b, h, w, cout)
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
 def deform_conv2d_tapwise(
     x: jnp.ndarray,
     offsets: jnp.ndarray,
@@ -536,6 +625,8 @@ class DCNv2(nn.Module):
         big = x.shape[0] * h * w * 9 * cin > (1 << 22)
         if form == "quad":
             fn = deform_conv2d_quad
+        elif form == "quad_tapwise":
+            fn = deform_conv2d_quad_tapwise
         elif form == "tapwise" or (form == "auto"
                                    and (big or (train and _dcn_remat_on(
                                        x.shape[0], h, w, cin)))):
