@@ -12,8 +12,27 @@ deformable_groups=1)`).  Here the op is built from TPU-friendly pieces:
   3. the modulated samples contract against the 3x3 weights as a single
      (B*H*W, 9*Cin) x (9*Cin, Cout) matmul — MXU-shaped.
 
-A Pallas kernel (kernels/dcn_pallas.py) accelerates step 2+3 when enabled;
-this XLA path is the correctness oracle and the autodiff path.
+Several formulations of step 2+3 coexist; all compute IDENTICAL math and
+are cross-tested (tests/test_train.py):
+
+  deform_conv2d          fused reference oracle: 4 flat row-gathers +
+                         one (B,H,W,9*Cin)x(9*Cin,Cout) einsum
+  deform_conv2d_tapwise  9 per-tap checkpointed gather+matmul segments —
+                         ~9x smaller temps, production default for large
+                         shapes and the memory shape that fits
+                         paper-scale training
+  deform_conv2d_quad     quad-view single gather: one contiguous 4*Cin
+                         chunk per (pixel, tap) fetches all 4 bilinear
+                         corners (the gather unit is chunk-rate-bound)
+  deform_conv2d_quad_tapwise  quad chunks + per-tap checkpoint (training)
+  deform_conv2d_pairs    2*Cin lax.gather slices — kept as a tested
+                         reference; lowers serially on this toolchain,
+                         do not use in production
+
+Selection: CENTERPOLY_DCN_FORMULATION=auto|fused|tapwise|quad|
+quad_tapwise (auto picks tapwise for large shapes, fused otherwise).
+Two Pallas kernels exist in kernels/ (exact-gather: interpret-only on
+this Mosaic; halo: compiles on-chip, opt-in CENTERPOLY_PALLAS_DCN).
 """
 from __future__ import annotations
 
