@@ -87,14 +87,12 @@ def main():
         scale = float(jnp.max(jnp.abs(out_x.astype(jnp.float32)))) + 1e-8
 
         def bench(fn):
-            for _ in range(3):
-                o = fn(x, off, mk, wt, bs)
-            jax.block_until_ready(o)
-            t0 = time.perf_counter()
-            for _ in range(args.iters):
-                o = fn(x, off, mk, wt, bs)
-            jax.block_until_ready(o)
-            return (time.perf_counter() - t0) / args.iters
+            # honest on-device time (block_until_ready does not fence on
+            # this harness — see utils/timing.py)
+            from centerpoly_tpu.utils.timing import (
+                measure_device_time, scalarize)
+            return measure_device_time(
+                scalarize(fn), (x, off, mk, wt, bs), reps=3)
 
         row.update({
             "max_abs_err_bf16": err, "rel_err": err / scale,
@@ -143,18 +141,19 @@ def main():
             row[f"bwd_rel_err_p999_{name}"] = round(
                 float(np.percentile(d_, 99.9)) / s_, 6)
 
-        def bench_g(fn):
-            for _ in range(3):
-                o = fn(x, off, mk, wt, bs)
-            jax.block_until_ready(o)
-            t0 = time.perf_counter()
-            for _ in range(args.iters):
-                o = fn(x, off, mk, wt, bs)
-            jax.block_until_ready(o)
-            return (time.perf_counter() - t0) / args.iters
+        def bench_g(loss):
+            from centerpoly_tpu.utils.timing import measure_device_time
 
-        row.update({"halo_bwd_s": round(bench_g(halo_g), 6),
-                    "xla_bwd_s": round(bench_g(xla_g), 6)})
+            def scalar(eps, *a):
+                g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+                    a[0] + eps.astype(a[0].dtype), *a[1:])
+                return sum(jnp.sum(t.astype(jnp.float32)) for t in g)
+
+            return measure_device_time(
+                scalar, (x, off, mk, wt, bs), reps=3)
+
+        row.update({"halo_bwd_s": round(bench_g(halo_loss), 6),
+                    "xla_bwd_s": round(bench_g(xla_loss), 6)})
         row["halo_bwd_vs_xla"] = round(row["xla_bwd_s"]
                                        / row["halo_bwd_s"], 3)
         print(json.dumps(row))
