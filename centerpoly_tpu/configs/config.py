@@ -99,6 +99,10 @@ class Config:
     train_dtype: str = "float32"   # float32 | bfloat16 — activation dtype for
                                    # training (params/optimizer stay f32; the
                                    # loss upcasts head maps to f32)
+    dcn_form: str = "auto"         # auto | fused | tapwise | quad |
+                                   # quad_tapwise — DCNv2 sampling
+                                   # formulation (identical math; see
+                                   # models/deform_conv.py)
     head_conv: int = -1            # -1 -> 256 for dla/hourglass, 64 for res
     down_ratio: int = 4
     rep: str = "cartesian"         # cartesian | polar | polar_fixed
@@ -209,6 +213,11 @@ class Config:
                 "dla" in self.arch or "hourglass" in self.arch) else 64
         self.pad = 127 if "hourglass" in self.arch else 31
         self.num_stacks = 2 if self.arch == "hourglass" else 1
+        if self.dcn_form != "auto":
+            # the DCNv2 module resolves its formulation at trace time via
+            # this env var (module attrs would retrace every switch)
+            import os
+            os.environ["CENTERPOLY_DCN_FORMULATION"] = self.dcn_form
         self.output_h = self.input_h // self.down_ratio
         self.output_w = self.input_w // self.down_ratio
         self.max_objs = 128
