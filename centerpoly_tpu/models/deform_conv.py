@@ -280,7 +280,10 @@ def deform_conv2d_quad(
     """
     b, h, w, cin = x.shape
     cout = weights.shape[-1]
-    assert h >= 3 and w >= 3, "quad views need h, w >= 3"
+    if h < 3 or w < 3:
+        # quad parity views need at least 2 cells per axis; tiny maps
+        # (deepest pyramid levels of small inputs) take the fused path
+        return deform_conv2d(x, offsets, masks, weights, bias)
 
     gy = jnp.arange(h, dtype=jnp.float32)[:, None]
     gx = jnp.arange(w, dtype=jnp.float32)[None, :]
@@ -371,7 +374,8 @@ def deform_conv2d_quad_tapwise(
     """
     b, h, w, cin = x.shape
     cout = weights.shape[-1]
-    assert h >= 3 and w >= 3, "quad views need h, w >= 3"
+    if h < 3 or w < 3:
+        return deform_conv2d_tapwise(x, offsets, masks, weights, bias)
 
     gy = jnp.arange(h, dtype=jnp.float32)[:, None]
     gx = jnp.arange(w, dtype=jnp.float32)[None, :]
