@@ -77,6 +77,7 @@ def test_main_entry_trains_one_epoch(tmp_path):
     assert (save_dir / "log.txt").exists() or (save_dir / "opt.txt").exists()
 
 
+@pytest.mark.slow
 def test_demo_video_entry(tmp_path, capsys):
     """Video path of the demo CLI (reference src/demo.py:23-36): a short
     synthetic .avi runs through the detector and an annotated video is

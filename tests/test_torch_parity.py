@@ -115,6 +115,7 @@ def test_resnet18_import_parity():
     _import_and_compare(net, "res_18", x, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_resdcn18_import_parity():
     from helpers.torch_ref import build_ref_resdcn
 

@@ -97,6 +97,7 @@ class TestTrainStep:
 
 
 class TestMixedPrecision:
+    @pytest.mark.slow
     def test_bf16_train_step_finite_and_close_to_f32(self):
         # cfg.train_dtype=bfloat16: bf16 activations, f32 params/optimizer,
         # loss math upcast to f32 in make_train_step.loss_fn
@@ -128,6 +129,7 @@ class TestMixedPrecision:
         finally:
             del os.environ["CENTERPOLY_DCN_REMAT"]
 
+    @pytest.mark.slow
     def test_tapwise_dcn_matches_fused(self):
         # the training-scale formulation must match values AND grads
         from centerpoly_tpu.models.deform_conv import (
@@ -168,6 +170,7 @@ class TestMixedPrecision:
                 np.asarray(deform_conv2d_pairs(x, off, mask, wt, bs)),
                 rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.slow
     def test_quad_dcn_matches_fused(self):
         # quad-view single-gather formulation: values bit-exact, grads
         # equal, across odd/even dims and far out-of-image offsets
