@@ -228,6 +228,40 @@ class BaseDetector:
         return {"results": results, "tot": tot, **{k: times.get(k, 0.0) for k
                 in ("load", "pre", "net", "dec", "post", "merge")}}
 
+    def run_batch(self, images) -> list:
+        """Batched single-scale pipeline: ONE compiled program processes
+        the whole same-shaped frame stack (how a production server feeds a
+        TPU).  Test-time augmentation (flip/multi-scale) is not applied —
+        falls back to per-image run() when it is configured.  Returns a
+        list of {"results": ...} dicts (no stage timers).
+        """
+        if self.cfg.flip_test or len(self.scales) > 1:
+            return [self.run(im) for im in images]
+        imgs = np.stack([np.asarray(im) for im in images])
+        h, w = imgs.shape[1:3]
+        trans, meta = self.pre_process_meta(h, w, 1.0)
+
+        if getattr(self, "_batch_jit", None) is None:
+            cfg = self.cfg
+
+            def prog(variables, frames, trans, mean, std):
+                warped = jax.vmap(lambda f: warp_axis_aligned(
+                    f.astype(jnp.float32), trans,
+                    (cfg.input_h, cfg.input_w)))(frames)
+                x = (warped / 255.0 - mean) / std
+                _, dets = self._process_device(variables, x)
+                return dets
+
+            self._batch_jit = jax.jit(prog)
+
+        dets = self._batch_jit(self.variables, jnp.asarray(imgs),
+                               jnp.asarray(trans, dtype=jnp.float32),
+                               self.mean, self.std)
+        dets_host = np.asarray(dets)
+        return [{"results": self.merge_outputs(
+                    [self._post(dets_host[i:i + 1], meta, 1.0)])}
+                for i in range(len(images))]
+
     def _debug_views(self, image, images, out, results):
         """Compose debug overlays (ref base_detector debug flow +
         detectors/polydet.py:78-100): heatmap blend + detections; level 4

@@ -77,6 +77,38 @@ def test_main_entry_trains_one_epoch(tmp_path):
     assert (save_dir / "log.txt").exists() or (save_dir / "opt.txt").exists()
 
 
+def test_run_batch_matches_single():
+    """run_batch (one compiled program over a frame stack) must produce
+    the same detections as per-image run() when no resize/TTA applies."""
+    import numpy as np
+    from centerpoly_tpu.configs import Config
+    from centerpoly_tpu.infer.detector import PolydetDetector
+
+    cfg = Config(task="polydet", dataset="cityscapes", arch="res_18",
+                 input_h=128, input_w=256)
+    det = PolydetDetector(cfg)
+    rng = np.random.RandomState(0)
+    frames = [(rng.rand(128, 256, 3) * 255).astype(np.uint8)
+              for _ in range(3)]
+    outs = det.run_batch(frames)
+    assert len(outs) == 3
+    for o in outs:
+        for j, rows in o["results"].items():
+            assert np.isfinite(np.asarray(rows)).all()
+    # exact parity at B=1 (same conv shapes → bitwise-comparable; at B>1
+    # XLA may batch convs differently, which flips near-tie top-k rows of
+    # an untrained model)
+    single = det.run(frames[0])["results"]
+    batch0 = det.run_batch(frames[:1])[0]["results"]
+    for j in single:
+        a, b = np.asarray(single[j]), np.asarray(batch0[j])
+        assert a.shape == b.shape
+        if a.size:
+            a = a[np.lexsort(a.T)]
+            b = b[np.lexsort(b.T)]
+            np.testing.assert_allclose(a, b, atol=1e-3)
+
+
 @pytest.mark.slow
 def test_demo_video_entry(tmp_path, capsys):
     """Video path of the demo CLI (reference src/demo.py:23-36): a short
