@@ -103,6 +103,9 @@ class Config:
                                    # quad_tapwise — DCNv2 sampling
                                    # formulation (identical math; see
                                    # models/deform_conv.py)
+    eval_batch: int = 1            # frames per compiled program in batch
+                                   # inference surfaces (run_on_csv);
+                                   # >1 uses detector.run_batch
     head_conv: int = -1            # -1 -> 256 for dla/hourglass, 64 for res
     down_ratio: int = 4
     rep: str = "cartesian"         # cartesian | polar | polar_fixed

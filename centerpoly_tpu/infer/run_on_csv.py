@@ -49,7 +49,34 @@ def main(argv=None):
 
     import cv2
     n = len(images)
+    # batched serving: same-shape consecutive frames go through ONE
+    # compiled program (detector.run_batch); TTA configs fall back to
+    # per-image runs inside run_batch itself
+    bs = max(1, cfg.eval_batch)
+
+    def emit(out, path, results):
+        for label in range(1, cfg.num_classes + 1):
+            for det in results[label]:
+                box = [int(v) for v in det[:4]]
+                score = float(det[4])
+                poly = [int(v) for v in det[5:-1]] \
+                    if len(det) > 6 else []
+                row = ([path] + box + [class_names[label - 1], score]
+                       + poly)
+                out.write(",".join(str(v) for v in row) + "\n")
+
     with open(target_csv, "w") as out:
+        pend_paths, pend_imgs, pend_shape = [], [], None
+
+        def flush():
+            nonlocal pend_paths, pend_imgs, pend_shape
+            if not pend_paths:
+                return
+            rets = detector.run_batch(pend_imgs)
+            for pth, ret in zip(pend_paths, rets):
+                emit(out, pth, ret["results"])
+            pend_paths, pend_imgs, pend_shape = [], [], None
+
         for count, path in enumerate(images):
             if count % 100 == 0:
                 print(f"progress: {100.0 * count / max(n, 1):.1f}%",
@@ -58,16 +85,14 @@ def main(argv=None):
             if img is None:
                 print(f"skipping unreadable {path}")
                 continue
-            ret = detector.run(img)
-            for label in range(1, cfg.num_classes + 1):
-                for det in ret["results"][label]:
-                    box = [int(v) for v in det[:4]]
-                    score = float(det[4])
-                    poly = [int(v) for v in det[5:-1]] \
-                        if len(det) > 6 else []
-                    row = ([path] + box + [class_names[label - 1], score]
-                           + poly)
-                    out.write(",".join(str(v) for v in row) + "\n")
+            if pend_shape is not None and img.shape != pend_shape:
+                flush()
+            pend_paths.append(path)
+            pend_imgs.append(img)
+            pend_shape = img.shape
+            if len(pend_paths) >= bs:
+                flush()
+        flush()
     print(f"wrote {target_csv}")
 
 

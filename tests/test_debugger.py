@@ -69,6 +69,27 @@ class TestRunOnCsv:
         # path + bbox4 + label + score + 32 poly coords
         assert len(first) == 1 + 4 + 1 + 1 + 32
 
+    def test_batched_matches_per_image(self, tmp_path):
+        # --eval_batch routes through detector.run_batch; same rows out
+        from centerpoly_tpu.infer.run_on_csv import main
+        rng = np.random.RandomState(1)
+        paths = []
+        for i in range(3):
+            p = str(tmp_path / f"img{i}.png")
+            cv2.imwrite(p, (rng.rand(96, 128, 3) * 255).astype(np.uint8))
+            paths.append(p)
+        src = tmp_path / "in.csv"
+        src.write_text("".join(f"{p},0,0,0,0\n" for p in paths))
+        outs = []
+        for i, bs in enumerate(("1", "4")):
+            dst = tmp_path / f"out{i}.csv"
+            main(["polydet", "--source_csv", str(src), "--target_csv",
+                  str(dst), "--dataset", "cityscapes", "--arch", "res_18",
+                  "--input_h", "64", "--input_w", "64", "--K", "8",
+                  "--eval_batch", bs])
+            outs.append(sorted(dst.read_text().strip().splitlines()))
+        assert outs[0] == outs[1]
+
 
 class TestDetectorDebug:
     def test_debug_level_4_saves_views(self, tmp_path):
