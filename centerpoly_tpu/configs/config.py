@@ -81,6 +81,11 @@ def task_heads(task: str, num_classes: int, nbr_points: int = 16,
     return heads
 
 
+# env vars written by a Config (as opposed to exported by the user):
+# only these may be cleared when a later Config reverts to defaults
+_CONFIG_OWNED_ENV: set = set()
+
+
 @dataclasses.dataclass
 class Config:
     """One experiment. Field names/defaults track reference opts.py."""
@@ -216,11 +221,17 @@ class Config:
                 "dla" in self.arch or "hourglass" in self.arch) else 64
         self.pad = 127 if "hourglass" in self.arch else 31
         self.num_stacks = 2 if self.arch == "hourglass" else 1
+        # the DCNv2 module resolves its formulation at trace time via
+        # this env var (module attrs would retrace every switch); 'auto'
+        # clears any value a PREVIOUS Config wrote (so configs don't leak
+        # into each other) but leaves a user-exported env var alone
+        import os
         if self.dcn_form != "auto":
-            # the DCNv2 module resolves its formulation at trace time via
-            # this env var (module attrs would retrace every switch)
-            import os
             os.environ["CENTERPOLY_DCN_FORMULATION"] = self.dcn_form
+            _CONFIG_OWNED_ENV.add("CENTERPOLY_DCN_FORMULATION")
+        elif "CENTERPOLY_DCN_FORMULATION" in _CONFIG_OWNED_ENV:
+            os.environ.pop("CENTERPOLY_DCN_FORMULATION", None)
+            _CONFIG_OWNED_ENV.discard("CENTERPOLY_DCN_FORMULATION")
         self.output_h = self.input_h // self.down_ratio
         self.output_w = self.input_w // self.down_ratio
         self.max_objs = 128

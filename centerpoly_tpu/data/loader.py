@@ -59,7 +59,15 @@ class Loader:
 
     def __init__(self, sampler: Callable[[int], dict], num_samples: int,
                  batch_size: int, shuffle: bool = True, drop_last: bool = True,
-                 prefetch: int = 2, seed: int = 0, num_workers: int = 0):
+                 prefetch: int = 2, seed: int = 0, num_workers: int = 0,
+                 rank: int = 0, world: int = 1):
+        """rank/world partition the sample index space for multi-host
+        training: every process shuffles the FULL index space with the
+        same seed (so the epoch permutation is shared), then keeps
+        indices[rank::world] — disjoint, jointly exhaustive shards, no
+        duplicated samples across hosts.
+        """
+        assert 0 <= rank < world, (rank, world)
         self.sampler = sampler
         self.num_samples = num_samples
         self.batch_size = batch_size
@@ -67,17 +75,33 @@ class Loader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.num_workers = num_workers
+        self.rank = rank
+        self.world = world
         self.rng = np.random.RandomState(seed)
+
+    @property
+    def _num_local(self):
+        # every rank keeps exactly floor(N/world) samples so all ranks
+        # run the SAME number of batches per epoch (collective train
+        # steps would deadlock otherwise); the < world remainder samples
+        # rotate in via the next epoch's reshuffle
+        if self.world == 1:
+            return self.num_samples
+        return self.num_samples // self.world
 
     def __len__(self):
         if self.drop_last:
-            return self.num_samples // self.batch_size
-        return (self.num_samples + self.batch_size - 1) // self.batch_size
+            return self._num_local // self.batch_size
+        return (self._num_local + self.batch_size - 1) // self.batch_size
 
     def _index_batches(self):
         idx = np.arange(self.num_samples)
         if self.shuffle:
+            # same seed on every rank -> same permutation -> the
+            # rank::world strides are disjoint across processes
             self.rng.shuffle(idx)
+        if self.world > 1:
+            idx = idx[self.rank::self.world][:self._num_local]
         n = len(self) * self.batch_size if self.drop_last else len(idx)
         for i in range(0, n, self.batch_size):
             yield idx[i:i + self.batch_size]
@@ -110,7 +134,10 @@ class Loader:
         # forking a threaded process can deadlock. forkserver workers
         # descend from a clean server process; initargs are picklable.
         ctx = mp.get_context("forkserver")
-        epoch_seed = int(self.rng.randint(0, 2 ** 31 - 1))
+        # draw from the shared rng FIRST (keeps the index permutation in
+        # lockstep across ranks), then decorrelate augmentation per rank
+        epoch_seed = (int(self.rng.randint(0, 2 ** 31 - 1))
+                      + self.rank * 7919)
         with ctx.Pool(self.num_workers, initializer=_worker_init,
                       initargs=(self.sampler, epoch_seed)) as pool:
             # imap preserves submission order; workers run ahead by

@@ -236,8 +236,11 @@ def evaluate_instances(gt_images: Dict[str, np.ndarray],
 
     gt_images: {img_key: (H, W) instance-id array}.
     predictions: {img_key: [{'mask', 'labelID', 'conf'}]}.
-    workers > 1 matches images in a process pool, like the reference's
-    4-process matcher (evalInstanceLevelSemanticLabeling.py:283-298).
+    workers > 1 matches images in a forkserver process pool, like the
+    reference's 4-process matcher
+    (evalInstanceLevelSemanticLabeling.py:283-298); callers' scripts
+    must use the standard `if __name__ == "__main__"` guard (forkserver
+    re-imports the main module, the usual multiprocessing contract).
     Returns dict with 'allAp', 'allAp50', per-class APs.
     """
     cfg = cfg or InstanceEvalConfig()
@@ -245,7 +248,11 @@ def evaluate_instances(gt_images: Dict[str, np.ndarray],
             for key, gt in gt_images.items()]
     if workers > 1 and len(jobs) > 1:
         import multiprocessing as mp
-        with mp.get_context("fork").Pool(workers) as pool:
+        # forkserver, not fork: the caller usually has a live
+        # multithreaded JAX runtime (val-time AP eval) and forking a
+        # threaded process can deadlock; jobs are plain picklable
+        # numpy/dataclass payloads so the clean-server spawn is safe
+        with mp.get_context("forkserver").Pool(workers) as pool:
             matches = dict(pool.map(_match_one, jobs))
     else:
         matches = dict(_match_one(j) for j in jobs)

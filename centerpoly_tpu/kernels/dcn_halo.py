@@ -446,15 +446,23 @@ _HALO_PROBED: dict = {}
 
 
 def halo_supported(h: int, w: int, c: int, cout: int,
-                   max_offset: int = DEFAULT_MAX_OFFSET) -> bool:
-    """Compile-probe the halo kernel for a shape on the current backend."""
+                   max_offset: int = DEFAULT_MAX_OFFSET,
+                   dtype=jnp.bfloat16) -> bool:
+    """Compile-probe the halo kernel for a shape on the current backend.
+
+    `dtype` must be the activation dtype that will actually run: Mosaic
+    support can differ between bf16 and f32, so the probe key includes it
+    (f32-activation training must not discover a compile failure at step
+    time after a bf16 probe passed).
+    """
     try:
         platform = jax.devices()[0].platform
     except Exception:
         return False
     if platform != "tpu":
         return False
-    key = (h, w, c, cout, max_offset)
+    dtype = jnp.dtype(dtype)
+    key = (h, w, c, cout, max_offset, dtype.name)
     if key not in _HALO_PROBED:
         # cheap static gate before any compile: both directions must fit
         _, _, _, n = _geometry(h, w, max_offset)
@@ -463,11 +471,11 @@ def halo_supported(h: int, w: int, c: int, cout: int,
             _HALO_PROBED[key] = False
             return False
         try:
-            xp = jnp.zeros((1, h, w, c), jnp.bfloat16)
+            xp = jnp.zeros((1, h, w, c), dtype)
             off = jnp.zeros((1, h, w, 18), jnp.float32)
             mk = jnp.ones((1, h, w, 9), jnp.float32)
-            wt = jnp.zeros((3, 3, c, cout), jnp.bfloat16)
-            bs = jnp.zeros((cout,), jnp.bfloat16)
+            wt = jnp.zeros((3, 3, c, cout), dtype)
+            bs = jnp.zeros((cout,), dtype)
 
             def loss(*a):
                 return jnp.sum(deform_conv2d_halo(*a, max_offset).astype(

@@ -18,6 +18,7 @@ def main(argv=None):
     np.random.seed(cfg.seed)
 
     local_batch = cfg.batch_size
+    rank, world = 0, 1
     if cfg.distributed:
         from .train.mesh import initialize_distributed
         multi = initialize_distributed(cfg.coordinator_address,
@@ -26,11 +27,14 @@ def main(argv=None):
         print(f"distributed: {jax.process_count()} processes, "
               f"{jax.device_count()} global devices (multi={multi})")
         if multi:
-            # cfg.batch_size is GLOBAL; each process loads its share and
-            # shard_batch assembles the global array
+            # cfg.batch_size is GLOBAL; each process loads a DISJOINT
+            # share of the index space (Loader rank/world stride over a
+            # shared-seed shuffle) and shard_batch assembles the global
+            # array from the per-process shards
             assert cfg.batch_size % jax.process_count() == 0, (
                 "batch_size must divide evenly across processes")
             local_batch = cfg.batch_size // jax.process_count()
+            rank, world = jax.process_index(), jax.process_count()
 
     meta_cls = DATASETS.get(cfg.dataset)
     if meta_cls is None:
@@ -44,16 +48,22 @@ def main(argv=None):
     train_sampler = sampler_cls(cfg, meta, train_ann, split="train",
                                 img_dir=meta.img_dir("train"))
     train_loader = Loader(train_sampler, len(train_sampler),
-                          local_batch, shuffle=True,
-                          num_workers=cfg.num_workers)
+                          local_batch, shuffle=True, seed=cfg.seed,
+                          num_workers=cfg.num_workers,
+                          rank=rank, world=world)
 
     val_loader = None
     try:
         val_ann = CocoPolyAnnotations(meta.annot_path("val"))
         val_sampler = sampler_cls(cfg, meta, val_ann, split="val",
                                   img_dir=meta.img_dir("val"))
+        # val is sharded too (shard_batch assembles global arrays from
+        # per-process shards); in multi-host runs the AP gate therefore
+        # scores each process's shard — identical shards would double
+        # count, disjoint shards just gate on a per-rank subsample
         val_loader = Loader(val_sampler, len(val_sampler),
-                            local_batch, shuffle=False, drop_last=False)
+                            local_batch, shuffle=False, drop_last=False,
+                            rank=rank, world=world)
     except FileNotFoundError:
         pass
 

@@ -568,14 +568,15 @@ def use_pallas_dcn(h: int, w: int, c: int, cout: int) -> bool:
         return False
 
 
-def halo_dcn_mode(h: int, w: int, c: int, cout: int):
+def halo_dcn_mode(h: int, w: int, c: int, cout: int, dtype=None):
     """Gate for the bounded-offset halo kernel.
 
     CENTERPOLY_PALLAS_DCN=halo or halo:<R> opts in (R = max offset,
     default kernels.dcn_halo.DEFAULT_MAX_OFFSET).  Returns (use, R):
-    use=True only when the kernel compile-probes OK on this backend;
-    R is returned whenever halo mode is requested so the XLA fallback
-    applies the SAME offset clamp (identical semantics either way).
+    use=True only when the kernel compile-probes OK on this backend with
+    the activation dtype that will actually run; R is returned whenever
+    halo mode is requested so the XLA fallback applies the SAME offset
+    clamp (identical semantics either way).
     """
     import os
     env = os.environ.get("CENTERPOLY_PALLAS_DCN", "auto").lower()
@@ -584,8 +585,17 @@ def halo_dcn_mode(h: int, w: int, c: int, cout: int):
     from ..kernels.dcn_halo import DEFAULT_MAX_OFFSET, halo_supported
     r = DEFAULT_MAX_OFFSET
     if ":" in env:
-        r = int(env.split(":", 1)[1])
-    return halo_supported(h, w, c, cout, r), r
+        spec = env.split(":", 1)[1]
+        try:
+            r = int(spec)
+        except ValueError:
+            import warnings
+            warnings.warn(
+                f"CENTERPOLY_PALLAS_DCN={env!r}: cannot parse max offset "
+                f"{spec!r}; using default {DEFAULT_MAX_OFFSET}")
+            r = DEFAULT_MAX_OFFSET
+    kwargs = {} if dtype is None else {"dtype": dtype}
+    return halo_supported(h, w, c, cout, r, **kwargs), r
 
 
 class DCNv2(nn.Module):
@@ -625,7 +635,8 @@ class DCNv2(nn.Module):
             return _deform_conv2d_fast(
                 x, offsets, masks, weights.astype(x.dtype),
                 bias.astype(x.dtype))
-        use_halo, r = halo_dcn_mode(h, w, cin, self.features)
+        use_halo, r = halo_dcn_mode(h, w, cin, self.features,
+                                    dtype=x.dtype)
         if r is not None:
             # halo mode: bounded offsets (documented TPU-native locality
             # bound) — clamp consistently whether the kernel or the XLA

@@ -99,7 +99,10 @@ class Trainer:
         self.eval_step = make_eval_step(self.loss_cfg, mesh=self.mesh,
                                         loss_callable=loss_callable)
         self._val_decode = None
-        self.best = -1.0
+        # -inf, not -1: the fallback gate metric is -val_loss, which
+        # starts below -1 on any fresh model — the first valid metric
+        # must always save a model_best (ref main.py gates with 1e10)
+        self.best = float("-inf")
         self.start_epoch = 0
         n_params = sum(
             int(np.prod(np.asarray(p).shape))

@@ -170,6 +170,26 @@ class TestLoader:
         coco = CocoPolyAnnotations(path)
         return PolydetSampler(cfg, CityscapesMeta(), coco), cfg
 
+    def test_rank_world_partition(self):
+        """Multi-host sharding: same seed -> disjoint, jointly
+        exhaustive index shards of equal size, no duplicated samples."""
+        n, world = 103, 4
+        sampler = lambda i: {"i": np.asarray([i])}
+        loaders = [Loader(sampler, n, batch_size=5, shuffle=True,
+                          seed=7, rank=r, world=world)
+                   for r in range(world)]
+        lens = {len(ld) for ld in loaders}
+        assert lens == {(n // world) // 5}
+        seen = []
+        for ld in loaders:
+            for batch in ld:
+                seen.extend(int(v) for v in batch["i"][:, 0])
+        assert len(seen) == len(set(seen)), "duplicated samples across ranks"
+        # single-host behavior unchanged
+        solo = Loader(sampler, n, batch_size=5, shuffle=False, drop_last=False)
+        got = [int(v) for b in solo for v in b["i"][:, 0]]
+        assert got == list(range(n))
+
     def test_stack_batch(self):
         samples = [{"a": np.ones((2, 2)), "meta": {"x": 1}},
                    {"a": np.zeros((2, 2)), "meta": {"x": 2}}]
