@@ -559,7 +559,8 @@ def use_pallas_dcn(h: int, w: int, c: int, cout: int) -> bool:
     (CENTERPOLY_PALLAS_DCN=0/1/auto)."""
     import os
     env = os.environ.get("CENTERPOLY_PALLAS_DCN", "auto").lower()
-    if env in ("0", "off", "false") or env.startswith("halo"):
+    if (env in ("0", "off", "false") or env.startswith("halo")
+            or env.startswith("rowband")):
         return False
     try:
         from ..kernels.dcn_pallas import pallas_supported
@@ -596,6 +597,35 @@ def halo_dcn_mode(h: int, w: int, c: int, cout: int, dtype=None):
             r = DEFAULT_MAX_OFFSET
     kwargs = {} if dtype is None else {"dtype": dtype}
     return halo_supported(h, w, c, cout, r, **kwargs), r
+
+
+def rowband_dcn_mode(h: int, w: int, c: int, cout: int, dtype=None):
+    """Gate for the row-band one-hot-matmul kernel.
+
+    CENTERPOLY_PALLAS_DCN=rowband or rowband:<R> opts in (R = max
+    Y-offset; x-offsets stay exact/unbounded).  Returns (use, R) with
+    the same contract as halo_dcn_mode: R is returned whenever rowband
+    mode is requested so the XLA fallback applies the SAME y-only clamp.
+    """
+    import os
+    env = os.environ.get("CENTERPOLY_PALLAS_DCN", "auto").lower()
+    if not env.startswith("rowband"):
+        return False, None
+    from ..kernels.dcn_rowband import (DEFAULT_MAX_OFFSET,
+                                       rowband_supported)
+    r = DEFAULT_MAX_OFFSET
+    if ":" in env:
+        spec = env.split(":", 1)[1]
+        try:
+            r = int(spec)
+        except ValueError:
+            import warnings
+            warnings.warn(
+                f"CENTERPOLY_PALLAS_DCN={env!r}: cannot parse max offset "
+                f"{spec!r}; using default {DEFAULT_MAX_OFFSET}")
+            r = DEFAULT_MAX_OFFSET
+    kwargs = {} if dtype is None else {"dtype": dtype}
+    return rowband_supported(h, w, c, cout, r, **kwargs), r
 
 
 class DCNv2(nn.Module):
@@ -635,6 +665,18 @@ class DCNv2(nn.Module):
             return _deform_conv2d_fast(
                 x, offsets, masks, weights.astype(x.dtype),
                 bias.astype(x.dtype))
+        use_rb, rb_r = rowband_dcn_mode(h, w, cin, self.features,
+                                        dtype=x.dtype)
+        if rb_r is not None:
+            # rowband mode: y-offsets bounded, x exact — apply the same
+            # y-only clamp whether the kernel or the XLA fallback runs
+            from ..kernels.dcn_rowband import _clamp_y
+            offsets = _clamp_y(offsets, float(rb_r))
+            if use_rb:
+                from ..kernels.dcn_rowband import deform_conv2d_rowband
+                return deform_conv2d_rowband(
+                    x, offsets, masks, weights.astype(x.dtype),
+                    bias.astype(x.dtype), rb_r)
         use_halo, r = halo_dcn_mode(h, w, cin, self.features,
                                     dtype=x.dtype)
         if r is not None:

@@ -1,0 +1,128 @@
+"""Row-band one-hot-matmul DCNv2 kernel (kernels/dcn_rowband.py).
+
+Interpret-mode numerics run on CPU every time (small shapes, R=2):
+forward vs the y-clamped-offset XLA oracle, and the custom_vjp backward
+(XLA autodiff of the oracle) for all five grads.  Gating tests cover
+the env switch; the real-chip compile probe is exercised by
+experiments/bench_dcn_kernel.py on TPU.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from centerpoly_tpu.kernels.dcn_rowband import (
+    DEFAULT_MAX_OFFSET, _clamp_y, deform_conv2d_rowband,
+    deform_conv2d_rowband_ref, rowband_supported)
+
+
+def _inputs(b=1, h=8, w=8, c=8, cout=8, seed=0, scale=1.5):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+    off = jnp.asarray(rng.randn(b, h, w, 18) * scale, jnp.float32)
+    mask = jax.nn.sigmoid(jnp.asarray(rng.randn(b, h, w, 9), jnp.float32))
+    wt = jnp.asarray(rng.randn(3, 3, c, cout) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(cout), jnp.float32)
+    return x, off, mask, wt, bias
+
+
+class TestGating:
+    def test_cpu_not_supported(self):
+        assert rowband_supported(16, 16, 8, 8) is False
+
+    def test_mode_parsing(self, monkeypatch):
+        from centerpoly_tpu.models.deform_conv import rowband_dcn_mode
+        monkeypatch.setenv("CENTERPOLY_PALLAS_DCN", "auto")
+        assert rowband_dcn_mode(8, 8, 8, 8) == (False, None)
+        monkeypatch.setenv("CENTERPOLY_PALLAS_DCN", "rowband")
+        use, r = rowband_dcn_mode(8, 8, 8, 8)
+        assert r == DEFAULT_MAX_OFFSET and use is False  # cpu backend
+        monkeypatch.setenv("CENTERPOLY_PALLAS_DCN", "rowband:3")
+        assert rowband_dcn_mode(8, 8, 8, 8)[1] == 3
+        monkeypatch.setenv("CENTERPOLY_PALLAS_DCN", "rowband:bogus")
+        with pytest.warns(UserWarning):
+            assert rowband_dcn_mode(8, 8, 8, 8)[1] == DEFAULT_MAX_OFFSET
+
+    def test_module_rowband_fallback_clamps(self, monkeypatch):
+        """In rowband mode on CPU the module must run the XLA path WITH
+        the y-only clamp — same math the kernel would compute."""
+        from centerpoly_tpu.models.deform_conv import DCNv2
+        m = DCNv2(8)
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 16, 8),
+                        jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setenv("CENTERPOLY_PALLAS_DCN", "rowband:2")
+        out = m.apply(v, x)
+        assert out.shape == (1, 8, 16, 8)
+        # zero-init offset conv -> offsets are 0, clamp is a no-op ->
+        # must equal the plain path exactly
+        monkeypatch.setenv("CENTERPOLY_PALLAS_DCN", "0")
+        ref = m.apply(v, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
+class TestClampY:
+    def test_y_only(self):
+        off = jnp.asarray(
+            np.random.RandomState(0).randn(2, 4, 4, 18) * 5, jnp.float32)
+        c = _clamp_y(off, 2.0)
+        y, x = np.asarray(c[..., 0::2]), np.asarray(c[..., 1::2])
+        assert y.min() >= -2.0 and y.max() <= 2.0
+        np.testing.assert_array_equal(x, np.asarray(off[..., 1::2]))
+
+
+class TestInterpretNumerics:
+    @pytest.mark.parametrize("scale", [0.8, 3.0])  # within / beyond R
+    def test_forward_matches_oracle(self, scale):
+        x, off, mask, wt, bias = _inputs(b=2, h=8, w=16, scale=scale)
+        out = deform_conv2d_rowband(x, off, mask, wt, bias, 2, True)
+        ref = deform_conv2d_rowband_ref(x, off, mask, wt, bias, 2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_forward_edge_offsets(self):
+        """Samples pushed off every image edge must zero-pad exactly."""
+        x, off, mask, wt, bias = _inputs(h=6, w=6, scale=0.0)
+        off = off + 12.0  # everything off the bottom-right
+        out = deform_conv2d_rowband(x, off, mask, wt, bias, 2, True)
+        ref = deform_conv2d_rowband_ref(x, off, mask, wt, bias, 2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_x_offsets_exact_beyond_r(self):
+        """x-offsets > R must NOT be clamped (only y is banded)."""
+        x, off, mask, wt, bias = _inputs(h=6, w=16, scale=0.0)
+        # y small, x large: sample 5 columns away with R=2
+        off = off.at[..., 0::2].set(0.3).at[..., 1::2].set(5.2)
+        out = deform_conv2d_rowband(x, off, mask, wt, bias, 2, True)
+        from centerpoly_tpu.models.deform_conv import deform_conv2d
+        ref = deform_conv2d(x, off, mask, wt, bias)  # unclamped oracle
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_grads_match_oracle_autodiff(self):
+        x, off, mask, wt, bias = _inputs(b=2, h=8, w=16, scale=3.0)
+
+        def loss(fn):
+            return lambda *a: jnp.sum(fn(*a) ** 2)
+
+        g_k = jax.grad(loss(
+            lambda *a: deform_conv2d_rowband(*a, 2, True)),
+            argnums=(0, 1, 2, 3, 4))(x, off, mask, wt, bias)
+        g_r = jax.grad(loss(
+            lambda *a: deform_conv2d_rowband_ref(*a, 2)),
+            argnums=(0, 1, 2, 3, 4))(x, off, mask, wt, bias)
+        for a, b in zip(g_k, g_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4)
+
+    def test_wider_channels(self):
+        """C != Cout and a wider-than-sublane channel count."""
+        x, off, mask, wt, bias = _inputs(h=4, w=8, c=16, cout=24)
+        out = deform_conv2d_rowband(x, off, mask, wt, bias, 2, True)
+        ref = deform_conv2d_rowband_ref(x, off, mask, wt, bias, 2)
+        assert out.shape == (1, 4, 8, 24)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
