@@ -189,6 +189,14 @@ class BaseDetector:
         for scale in self.scales:
             h, w = image.shape[:2]
             trans, meta = self.pre_process_meta(h, w, scale)
+            # pre_process_meta's transform is defined on SCALED-image
+            # coords (the reference cv2-resizes by `scale` first,
+            # base_detector.py:41-60, then warps); fold the scale into
+            # the matrix so ONE device warp of the original frame is
+            # geometrically identical to the reference's resize+warp
+            if scale != 1.0:
+                trans = trans.copy()
+                trans[:, :2] *= scale
             # Shrink on host before crossing the host->device link: when the
             # warp downsamples (f < 1), a cv2 resize first cuts transferred
             # bytes by 1/f^2 and the device warp becomes ~identity-scale.
@@ -229,17 +237,16 @@ class BaseDetector:
                 in ("load", "pre", "net", "dec", "post", "merge")}}
 
     def run_batch(self, images) -> list:
-        """Batched single-scale pipeline: ONE compiled program processes
-        the whole same-shaped frame stack (how a production server feeds a
-        TPU).  Test-time augmentation (flip/multi-scale) is not applied —
-        falls back to per-image run() when it is configured.  Returns a
-        list of {"results": ...} dicts (no stage timers).
+        """Batched pipeline: ONE compiled program per scale processes the
+        whole same-shaped frame stack (how a production server feeds a
+        TPU).  Test-time augmentation is applied batched: flip_test runs
+        the [originals(B); flipped(B)] stack through the same program
+        (the flip-average splits at the half), and multi-scale loops
+        scales with the full batch per scale, merging per image.
+        Returns a list of {"results": ...} dicts (no stage timers).
         """
-        if self.cfg.flip_test or len(self.scales) > 1:
-            return [self.run(im) for im in images]
         imgs = np.stack([np.asarray(im) for im in images])
         h, w = imgs.shape[1:3]
-        trans, meta = self.pre_process_meta(h, w, 1.0)
 
         if getattr(self, "_batch_jit", None) is None:
             cfg = self.cfg
@@ -249,17 +256,29 @@ class BaseDetector:
                     f.astype(jnp.float32), trans,
                     (cfg.input_h, cfg.input_w)))(frames)
                 x = (warped / 255.0 - mean) / std
+                if cfg.flip_test:
+                    x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
                 _, dets = self._process_device(variables, x)
                 return dets
 
             self._batch_jit = jax.jit(prog)
 
-        dets = self._batch_jit(self.variables, jnp.asarray(imgs),
-                               jnp.asarray(trans, dtype=jnp.float32),
-                               self.mean, self.std)
-        dets_host = np.asarray(dets)
+        frames_dev = jnp.asarray(imgs)
+        per_scale = []
+        for scale in self.scales:
+            trans, meta = self.pre_process_meta(h, w, scale)
+            if scale != 1.0:
+                # scaled-coords -> original-coords warp (see run())
+                trans = trans.copy()
+                trans[:, :2] *= scale
+            dets = self._batch_jit(self.variables, frames_dev,
+                                   jnp.asarray(trans, dtype=jnp.float32),
+                                   self.mean, self.std)
+            dets_host = np.asarray(dets)
+            per_scale.append([self._post(dets_host[i:i + 1], meta, scale)
+                              for i in range(len(images))])
         return [{"results": self.merge_outputs(
-                    [self._post(dets_host[i:i + 1], meta, 1.0)])}
+                    [dets_i[i] for dets_i in per_scale])}
                 for i in range(len(images))]
 
     def _debug_views(self, image, images, out, results):
@@ -327,11 +346,14 @@ class PolydetDetector(BaseDetector):
         reg = out["reg"].astype(jnp.float32) if cfg.reg_offset else None
         if cfg.flip_test:
             # average original + x-flipped heatmap/depth; polygons are not
-            # flip-symmetric per-channel, keep the unflipped branch
-            hm = (hm[0:1] + hm[1:2, :, ::-1, :]) / 2
-            depth = (depth[0:1] + depth[1:2, :, ::-1, :]) / 2
-            poly = poly[0:1]
-            reg = reg[0:1] if reg is not None else None
+            # flip-symmetric per-channel, keep the unflipped branch.
+            # Batch layout is [originals(B); flipped(B)] (B=1 in run(),
+            # B=n in run_batch), so split at the half
+            nb = hm.shape[0] // 2
+            hm = (hm[:nb] + hm[nb:, :, ::-1, :]) / 2
+            depth = (depth[:nb] + depth[nb:, :, ::-1, :]) / 2
+            poly = poly[:nb]
+            reg = reg[:nb] if reg is not None else None
         dets = polydet_decode(
             hm, poly, depth, reg=reg, k=cfg.K, rep=cfg.rep)
         return out, dets
@@ -359,9 +381,10 @@ class CtdetDetector(BaseDetector):
         wh = out["wh"].astype(jnp.float32)
         reg = out["reg"].astype(jnp.float32) if cfg.reg_offset else None
         if cfg.flip_test:
-            hm = (hm[0:1] + hm[1:2, :, ::-1, :]) / 2
-            wh = (wh[0:1] + wh[1:2, :, ::-1, :]) / 2
-            reg = reg[0:1] if reg is not None else None
+            nb = hm.shape[0] // 2
+            hm = (hm[:nb] + hm[nb:, :, ::-1, :]) / 2
+            wh = (wh[:nb] + wh[nb:, :, ::-1, :]) / 2
+            reg = reg[:nb] if reg is not None else None
         dets = ctdet_decode(hm, wh, reg=reg, k=cfg.K,
                             cat_spec_wh=cfg.cat_spec_wh)
         return out, dets

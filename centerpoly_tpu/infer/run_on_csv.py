@@ -50,8 +50,8 @@ def main(argv=None):
     import cv2
     n = len(images)
     # batched serving: same-shape consecutive frames go through ONE
-    # compiled program (detector.run_batch); TTA configs fall back to
-    # per-image runs inside run_batch itself
+    # compiled program (detector.run_batch); flip/multi-scale TTA is
+    # applied batched inside run_batch
     bs = max(1, cfg.eval_batch)
 
     def emit(out, path, results):

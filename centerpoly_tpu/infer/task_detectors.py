@@ -170,23 +170,26 @@ class MultiPoseDetector(BaseDetector):
         hp_offset = out["hp_offset"].astype(jnp.float32) \
             if cfg.reg_hp_offset else None
         if cfg.flip_test:
+            # batch layout [originals(B); flipped(B)] — B=1 in run(),
+            # B=n in run_batch
             perm = jnp.asarray(_flip_joint_perm(hps.shape[-1] // 2))
-            hm = (hm[0:1] + hm[1:2, :, ::-1, :]) / 2
-            wh = (wh[0:1] + wh[1:2, :, ::-1, :]) / 2
+            nb = hm.shape[0] // 2
+            hm = (hm[:nb] + hm[nb:, :, ::-1, :]) / 2
+            wh = (wh[:nb] + wh[nb:, :, ::-1, :]) / 2
             # flip_lr_off (ref models/utils.py:39-50): mirror spatially,
             # negate x offsets, swap left/right joint channels
-            hf = hps[1:2, :, ::-1, :].reshape(
-                1, hps.shape[1], hps.shape[2], -1, 2)
+            hf = hps[nb:, :, ::-1, :].reshape(
+                nb, hps.shape[1], hps.shape[2], -1, 2)
             hf = hf.at[..., 0].multiply(-1.0)
-            hf = hf[:, :, :, perm, :].reshape(1, hps.shape[1],
+            hf = hf[:, :, :, perm, :].reshape(nb, hps.shape[1],
                                               hps.shape[2], -1)
-            hps = (hps[0:1] + hf) / 2
+            hps = (hps[:nb] + hf) / 2
             if hm_hp is not None:
                 # flip_lr (ref models/utils.py:28-37)
-                hm_hp = (hm_hp[0:1]
-                         + hm_hp[1:2, :, ::-1, :][..., perm]) / 2
-            reg = reg[0:1] if reg is not None else None
-            hp_offset = hp_offset[0:1] if hp_offset is not None else None
+                hm_hp = (hm_hp[:nb]
+                         + hm_hp[nb:, :, ::-1, :][..., perm]) / 2
+            reg = reg[:nb] if reg is not None else None
+            hp_offset = hp_offset[:nb] if hp_offset is not None else None
         dets = multi_pose_decode(hm, wh, hps, reg=reg, hm_hp=hm_hp,
                                  hp_offset=hp_offset, k=cfg.K)
         return out, dets

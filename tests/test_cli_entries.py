@@ -109,6 +109,38 @@ def test_run_batch_matches_single():
             np.testing.assert_allclose(a, b, atol=1e-3)
 
 
+def test_run_batch_tta_matches_single(monkeypatch):
+    """run_batch applies flip-test + multi-scale TTA batched; at B=1 it
+    must match per-image run() exactly (same program shapes).  cv2 is
+    blocked so run()'s host-shrink path can't introduce fixed-point
+    resampling differences — both paths then use the identical device
+    warp and the comparison isolates the TTA batching logic."""
+    import sys
+    import numpy as np
+    from centerpoly_tpu.configs import Config
+    from centerpoly_tpu.infer.detector import PolydetDetector
+
+    monkeypatch.setitem(sys.modules, "cv2", None)
+    cfg = Config(task="polydet", dataset="cityscapes", arch="res_18",
+                 input_h=128, input_w=256, flip_test=True,
+                 test_scales=(1.0, 0.5))
+    det = PolydetDetector(cfg)
+    rng = np.random.RandomState(1)
+    frames = [(rng.rand(128, 256, 3) * 255).astype(np.uint8)
+              for _ in range(2)]
+    outs = det.run_batch(frames)
+    assert len(outs) == 2
+    single = det.run(frames[0])["results"]
+    batch0 = outs[0]["results"]
+    for j in single:
+        a, b = np.asarray(single[j]), np.asarray(batch0[j])
+        assert a.shape == b.shape, (j, a.shape, b.shape)
+        if a.size:
+            a = a[np.lexsort(a.T)]
+            b = b[np.lexsort(b.T)]
+            np.testing.assert_allclose(a, b, atol=2e-3)
+
+
 @pytest.mark.slow
 def test_demo_video_entry(tmp_path, capsys):
     """Video path of the demo CLI (reference src/demo.py:23-36): a short

@@ -236,8 +236,14 @@ class TestMixedPrecision:
                 y = y @ x
             return jnp.sum(y)
 
-        t1 = measure_device_time(one, (x,), reps=3)
-        t4 = measure_device_time(four, (x,), reps=3)
+        # single-core CPU host under suite load is noisy: retry up to 3x
+        # before declaring the scaling broken (median-of-reps can still
+        # land on a descheduled lap)
+        for attempt in range(3):
+            t1 = measure_device_time(one, (x,), reps=3)
+            t4 = measure_device_time(four, (x,), reps=3)
+            if t4 > 2 * t1:
+                return
         assert t4 > 2 * t1, (t1, t4)
 
     def test_remat_dcn_grads_match_no_remat(self):

@@ -18,3 +18,35 @@ def test_matches_gather_warp():
         b = np.asarray(warp_axis_aligned(img, t, (40, 60)))
         # pixel-value tolerance: well under uint8 quantization (1/255)
         assert np.abs(a - b).max() < 3e-3
+
+
+def test_scale_folded_warp_matches_resize_then_warp():
+    """Multi-scale inference: folding the test scale into the warp matrix
+    (one resample of the original frame) must be geometrically identical
+    to the reference's cv2-resize-by-scale THEN warp
+    (base_detector.py:41-60).  Checked on a smooth image where the two
+    resampling paths agree to interpolation tolerance."""
+    h, w, scale = 64, 96, 0.5
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    img = np.stack([yy / h, xx / w, (yy + xx) / (h + w)], -1)
+    new_h, new_w = int(h * scale), int(w * scale)
+    c = np.array([new_w / 2.0, new_h / 2.0], np.float32)
+    s = max(h, w) * 1.0
+    trans = get_affine_transform(c, s, 0, (48, 32))
+    # reference path: bilinear resize to (new_h, new_w), then warp
+    ry = (np.arange(new_h) + 0.5) * (h / new_h) - 0.5
+    rx = (np.arange(new_w) + 0.5) * (w / new_w) - 0.5
+    y0 = np.clip(np.floor(ry).astype(int), 0, h - 2)
+    x0 = np.clip(np.floor(rx).astype(int), 0, w - 2)
+    fy = (ry - y0)[:, None, None]
+    fx = (rx - x0)[None, :, None]
+    small = (img[y0][:, x0] * (1 - fy) * (1 - fx)
+             + img[y0 + 1][:, x0] * fy * (1 - fx)
+             + img[y0][:, x0 + 1] * (1 - fy) * fx
+             + img[y0 + 1][:, x0 + 1] * fy * fx)
+    ref = np.asarray(warp_axis_aligned(jnp.asarray(small), trans, (32, 48)))
+    # our path: fold scale into the matrix, warp the ORIGINAL frame once
+    tf = trans.copy()
+    tf[:, :2] *= scale
+    got = np.asarray(warp_axis_aligned(jnp.asarray(img), tf, (32, 48)))
+    assert np.abs(got - ref).max() < 0.02
