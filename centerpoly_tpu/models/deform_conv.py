@@ -569,6 +569,64 @@ def use_pallas_dcn(h: int, w: int, c: int, cout: int) -> bool:
         return False
 
 
+FORMULATIONS = {}  # name -> callable; filled after the defs below
+
+
+def _auto_table():
+    """Measured per-shape winners (experiments/dcn_auto_table.json).
+
+    experiments/bench_dcn_variants.py --write_table records the fastest
+    formulation per (batch, h, w, cin, train) class from honest
+    scan-differenced on-chip timing; `auto` consults it so production
+    selection is measurement-driven, not a static size threshold.
+    Entries key on "b,h,w,cin,train" with exact-match lookup.
+    """
+    global _AUTO_TABLE
+    if _AUTO_TABLE is None:
+        import json
+        import os
+        path = os.environ.get(
+            "CENTERPOLY_DCN_AUTO_TABLE",
+            os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "experiments",
+                "dcn_auto_table.json"))
+        table = {}
+        try:
+            with open(path) as f:
+                raw = json.load(f)
+            table = {k: v for k, v in raw.items() if v in (
+                "fused", "tapwise", "quad", "quad_tapwise")}
+        except (OSError, ValueError):
+            pass
+        _AUTO_TABLE = table
+    return _AUTO_TABLE
+
+
+_AUTO_TABLE = None
+
+
+def resolve_formulation(b: int, h: int, w: int, cin: int,
+                        train: bool) -> str:
+    """Pick the DCN formulation for a shape.
+
+    Order: explicit CENTERPOLY_DCN_FORMULATION env > measured per-shape
+    winner from the auto table > static heuristic (tapwise for large
+    shapes / remat-needing training, fused for small ones — the
+    honestly-timed round-2 defaults).
+    """
+    import os
+    form = os.environ.get("CENTERPOLY_DCN_FORMULATION", "auto").lower()
+    if form in FORMULATIONS:
+        return form
+    hit = _auto_table().get(f"{b},{h},{w},{cin},{int(bool(train))}")
+    if hit is not None:
+        return hit
+    big = b * h * w * 9 * cin > (1 << 22)
+    if big or (train and _dcn_remat_on(b, h, w, cin)):
+        return "tapwise"
+    return "fused"
+
+
 def halo_dcn_mode(h: int, w: int, c: int, cout: int, dtype=None):
     """Gate for the bounded-offset halo kernel.
 
@@ -626,6 +684,14 @@ def rowband_dcn_mode(h: int, w: int, c: int, cout: int, dtype=None):
             r = DEFAULT_MAX_OFFSET
     kwargs = {} if dtype is None else {"dtype": dtype}
     return rowband_supported(h, w, c, cout, r, **kwargs), r
+
+
+FORMULATIONS.update({
+    "fused": deform_conv2d,
+    "tapwise": deform_conv2d_tapwise,
+    "quad": deform_conv2d_quad,
+    "quad_tapwise": deform_conv2d_quad_tapwise,
+})
 
 
 class DCNv2(nn.Module):
@@ -689,26 +755,8 @@ class DCNv2(nn.Module):
                 return deform_conv2d_halo(
                     x, offsets, masks, weights.astype(x.dtype),
                     bias.astype(x.dtype), r)
-        # tapwise is the production formulation: honestly-timed (scan-
-        # differenced) it beats the fused 4-corner gather at every DLA-34
-        # node shape (1.6x at stride-4 — less temp traffic per gather),
-        # and its per-tap jax.checkpoint is what keeps paper-scale
-        # training inside HBM.  CENTERPOLY_DCN_FORMULATION=fused restores
-        # the single-einsum form (also used by small shapes where the
-        # 9-segment graph isn't worth the compile time).
-        import os
-        form = os.environ.get("CENTERPOLY_DCN_FORMULATION", "auto").lower()
-        big = x.shape[0] * h * w * 9 * cin > (1 << 22)
-        if form == "quad":
-            fn = deform_conv2d_quad
-        elif form == "quad_tapwise":
-            fn = deform_conv2d_quad_tapwise
-        elif form == "tapwise" or (form == "auto"
-                                   and (big or (train and _dcn_remat_on(
-                                       x.shape[0], h, w, cin)))):
-            fn = deform_conv2d_tapwise
-        else:
-            fn = deform_conv2d
+        form = resolve_formulation(x.shape[0], h, w, cin, train)
+        fn = FORMULATIONS[form]
         return fn(x, offsets, masks, weights.astype(x.dtype),
                   bias.astype(x.dtype))
 

@@ -26,6 +26,13 @@ def main():
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--halo_r", type=int, default=4)
+    p.add_argument("--write_table", action="store_true",
+                   help="record the fastest XLA formulation per shape "
+                        "into experiments/dcn_auto_table.json (consumed "
+                        "by models.deform_conv.resolve_formulation)")
+    p.add_argument("--train", action="store_true",
+                   help="tag table entries as train-time (also benches "
+                        "the *_tapwise variants' grad path shapes)")
     args = p.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -35,7 +42,7 @@ def main():
     import jax.numpy as jnp
     from centerpoly_tpu.models.deform_conv import (
         deform_conv2d, deform_conv2d_pairs, deform_conv2d_quad,
-        deform_conv2d_tapwise)
+        deform_conv2d_quad_tapwise, deform_conv2d_tapwise)
     from centerpoly_tpu.utils.timing import measure_device_time
 
     dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -59,6 +66,7 @@ def main():
             "xla_4corner": lambda *a: deform_conv2d(*a),
             "xla_quad": lambda *a: deform_conv2d_quad(*a),
             "xla_tapwise": lambda *a: deform_conv2d_tapwise(*a),
+            "xla_quad_tapwise": lambda *a: deform_conv2d_quad_tapwise(*a),
         }
         if os.environ.get("BENCH_PAIRS"):
             variants["xla_pairs"] = lambda *a: deform_conv2d_pairs(*a)
@@ -102,6 +110,26 @@ def main():
                 scalar, (x, off, mask, wgt, bias)) * 1e3, 3)
 
         print(json.dumps(row), flush=True)
+
+        if args.write_table:
+            # fastest XLA formulation -> auto-table entry for this shape
+            xla_names = {"xla_4corner": "fused", "xla_quad": "quad",
+                         "xla_tapwise": "tapwise",
+                         "xla_quad_tapwise": "quad_tapwise"}
+            best = min((n for n in xla_names if f"{n}_ms" in row),
+                       key=lambda n: row[f"{n}_ms"])
+            table_path = os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "dcn_auto_table.json")
+            try:
+                with open(table_path) as f:
+                    table = json.load(f)
+            except (OSError, ValueError):
+                table = {}
+            key = f"{bb},{h},{w},{cin},{int(args.train)}"
+            table[key] = xla_names[best]
+            with open(table_path, "w") as f:
+                json.dump(table, f, indent=1, sort_keys=True)
+            print(f"# table[{key}] = {xla_names[best]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -59,6 +59,28 @@ def main():
                 preferred_element_type=jnp.float32)
             return jnp.sum(jnp.transpose(y, (0, 2, 3, 1)))
 
+        def im2col(eps, x, w):
+            # explicit patches @ weights matmul: M = H*W on MXU rows,
+            # K = k*k*cin on the contraction — no lane padding of cin
+            xp = x + eps.astype(x.dtype)
+            patches = jax.lax.conv_general_dilated_patches(
+                xp, (k, k), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            wf = w.reshape(k * k * cin, cout)
+            return jnp.sum(jnp.einsum(
+                "bhwf,fo->bhwo", patches, wf,
+                preferred_element_type=jnp.float32))
+
+        def conv_bn_relu(eps, x, w):
+            # is the BN+ReLU epilogue fused into the conv? compare vs nhwc
+            y = jax.lax.conv_general_dilated(
+                x + eps.astype(x.dtype), w, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            scale = jnp.full((cout,), 1.01, jnp.float32)
+            shift = jnp.full((cout,), 0.02, jnp.float32)
+            return jnp.sum(jnp.maximum(y * scale + shift, 0.0))
+
         row = {"conv": f"{k}x{k} {cin}->{cout} @512x1024"}
         row["nhwc_ms"] = round(
             measure_device_time(nhwc, (x, w_hwio)) * 1e3, 3)
@@ -66,6 +88,10 @@ def main():
             measure_device_time(nchw, (xc, w_oihw)) * 1e3, 3)
         row["nchw_roundtrip_ms"] = round(
             measure_device_time(nchw_roundtrip, (x, w_oihw)) * 1e3, 3)
+        row["im2col_ms"] = round(
+            measure_device_time(im2col, (x, w_hwio)) * 1e3, 3)
+        row["conv_bn_relu_ms"] = round(
+            measure_device_time(conv_bn_relu, (x, w_hwio)) * 1e3, 3)
         print(json.dumps(row), flush=True)
 
 

@@ -265,6 +265,45 @@ class TestMixedPrecision:
                                        rtol=1e-5, atol=1e-5)
 
 
+class TestFormulationSelection:
+    def test_env_overrides_everything(self, monkeypatch):
+        from centerpoly_tpu.models import deform_conv as dc
+        monkeypatch.setenv("CENTERPOLY_DCN_FORMULATION", "quad")
+        assert dc.resolve_formulation(1, 128, 256, 64, False) == "quad"
+
+    def test_measured_table_wins_over_heuristic(self, monkeypatch,
+                                                tmp_path):
+        from centerpoly_tpu.models import deform_conv as dc
+        monkeypatch.delenv("CENTERPOLY_DCN_FORMULATION", raising=False)
+        table = tmp_path / "table.json"
+        table.write_text('{"1,128,256,64,0": "quad", '
+                         '"8,128,256,64,1": "quad_tapwise", '
+                         '"1,2,2,2,0": "bogus_name"}')
+        monkeypatch.setenv("CENTERPOLY_DCN_AUTO_TABLE", str(table))
+        monkeypatch.setattr(dc, "_AUTO_TABLE", None)  # bust the cache
+        assert dc.resolve_formulation(1, 128, 256, 64, False) == "quad"
+        assert dc.resolve_formulation(
+            8, 128, 256, 64, True) == "quad_tapwise"
+        # invalid names are dropped at load -> heuristic fallback
+        assert dc.resolve_formulation(1, 2, 2, 2, False) == "fused"
+        monkeypatch.setattr(dc, "_AUTO_TABLE", None)
+
+    def test_heuristic_fallback(self, monkeypatch, tmp_path):
+        from centerpoly_tpu.models import deform_conv as dc
+        monkeypatch.delenv("CENTERPOLY_DCN_FORMULATION", raising=False)
+        monkeypatch.setenv("CENTERPOLY_DCN_AUTO_TABLE",
+                           str(tmp_path / "missing.json"))
+        monkeypatch.setattr(dc, "_AUTO_TABLE", None)
+        assert dc.resolve_formulation(1, 128, 256, 64, False) == "tapwise"
+        assert dc.resolve_formulation(1, 8, 8, 8, False) == "fused"
+        monkeypatch.setattr(dc, "_AUTO_TABLE", None)
+
+    def test_formulations_registry_complete(self):
+        from centerpoly_tpu.models.deform_conv import FORMULATIONS
+        assert set(FORMULATIONS) == {"fused", "tapwise", "quad",
+                                     "quad_tapwise"}
+
+
 class TestEvalStep:
     def test_eval(self):
         model = make_tiny_model()
