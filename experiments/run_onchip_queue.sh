@@ -1,0 +1,53 @@
+#!/bin/bash
+# One-shot on-chip measurement queue (round 3). Run from the repo root
+# the moment the TPU tunnel is back:
+#
+#   bash experiments/run_onchip_queue.sh 2>&1 | tee /tmp/onchip_r3.log
+#
+# Order matters: the auto-table write (step 1) changes what `auto`
+# selects in every later full-model run. Every step is individually
+# bounded so one hung run can't eat the session.
+set -x
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
+export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
+
+echo "=== 0. tunnel sanity ==="
+timeout 120 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); print('alive', float((x@x)[0,0]))" || exit 1
+
+echo "=== 1. DCN formulation shoot-out -> auto table (inference shapes) ==="
+timeout 1800 python experiments/bench_dcn_variants.py --batch 1 --dtype bfloat16 --write_table
+
+echo "=== 2. full-pipeline A/B: tapwise vs quad vs auto(table) ==="
+for form in tapwise quad fused; do
+  echo "--- formulation=$form"
+  CENTERPOLY_DCN_FORMULATION=$form timeout 1800 python experiments/profile_inference.py
+done
+echo "--- formulation=auto (measured table)"
+timeout 1800 python experiments/profile_inference.py
+
+echo "=== 3. rowband Pallas kernel: compile + numerics + timing ==="
+timeout 2400 python experiments/bench_dcn_rowband.py --r 4
+
+echo "=== 4. batch-8 variants (training-scale fwd shapes) ==="
+timeout 1800 python experiments/bench_dcn_variants.py --batch 8 --dtype bfloat16
+
+echo "=== 5. DCN backward: quad_tapwise vs tapwise ==="
+timeout 2400 python experiments/bench_dcn_bwd.py --batch 8 --dtype bfloat16
+
+echo "=== 6. paper-scale training step: dla_34 b8 bf16 quad_tapwise ==="
+CENTERPOLY_DCN_FORMULATION=quad_tapwise timeout 3000 python experiments/bench_train_iou.py --arch dla_34 --batch 8 --dtype bfloat16 --steps 5
+echo "--- baseline tapwise for comparison"
+CENTERPOLY_DCN_FORMULATION=tapwise timeout 3000 python experiments/bench_train_iou.py --arch dla_34 --batch 8 --dtype bfloat16 --steps 5
+
+echo "=== 7. batched throughput ==="
+timeout 1800 python experiments/bench_batch.py
+
+echo "=== 8. stem layout + gather-rate probes ==="
+timeout 1200 python experiments/probe_stem_layout.py
+timeout 1200 python experiments/probe_gather_rates.py
+
+echo "=== 9. the driver bench ==="
+timeout 1800 python bench.py
+
+echo "=== QUEUE COMPLETE ==="
