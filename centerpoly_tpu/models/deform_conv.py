@@ -254,8 +254,18 @@ def _quad_views(x: jnp.ndarray):
             wqs.append(wq)
             base += b * hp * wq
     operand = jnp.concatenate(flats, axis=0)
-    return (operand, jnp.asarray(bases, jnp.int32),
-            jnp.asarray(hps, jnp.int32), jnp.asarray(wqs, jnp.int32))
+    # (base, hp, wq) stay PYTHON ints: the callers select between the
+    # four views with jnp.where arithmetic, never an indexed lookup — a
+    # tables[vid] fancy-index would be THREE more gathers with full
+    # (B,H,W,9) index tensors, tripling the descriptor count the quad
+    # trick exists to cut
+    return operand, list(zip(bases, hps, wqs))
+
+
+def _select4(p, q, v00, v01, v10, v11):
+    """view-table lookup as VPU selects on the parity bits."""
+    return jnp.where(p == 0, jnp.where(q == 0, v00, v01),
+                     jnp.where(q == 0, v10, v11))
 
 
 def deform_conv2d_quad(
@@ -301,18 +311,21 @@ def deform_conv2d_quad(
     y0 = y0f.astype(jnp.int32)
     x0 = x0f.astype(jnp.int32)
 
-    operand, bases, hps, wqs = _quad_views(x)
+    operand, tables = _quad_views(x)
+    (b00, h00, w00), (b01, h01, w01), (b10, h10, w10), (b11, h11, w11) \
+        = tables
 
     ry = jnp.clip(y0, 0, h - 2)
     cx = jnp.clip(x0, 0, w - 2)
     p = ry & 1
     q = cx & 1
-    vid = p * 2 + q                                  # (B,H,W,9)
     y2 = (ry - p) >> 1
     x2 = (cx - q) >> 1
     bb = jnp.arange(b, dtype=jnp.int32)[:, None, None, None]
-    idx = (bases[vid]
-           + (bb * hps[vid] + y2) * wqs[vid] + x2)   # (B,H,W,9)
+    base = _select4(p, q, b00, b01, b10, b11)
+    hp = _select4(p, q, h00, h01, h10, h11)
+    wq = _select4(p, q, w00, w01, w10, w11)
+    idx = base + (bb * hp + y2) * wq + x2            # (B,H,W,9)
 
     chunk = jnp.take(operand, idx, axis=0)           # (B,H,W,9,4C)
     c00 = chunk[..., 0 * cin:1 * cin]
@@ -389,7 +402,9 @@ def deform_conv2d_quad_tapwise(
                       + off[..., 1], -1, 0)
     wk = weights.reshape(9, cin, cout)
 
-    operand, bases, hps, wqs = _quad_views(x)
+    operand, tables = _quad_views(x)
+    (b00, h00, w00), (b01, h01, w01), (b10, h10, w10), (b11, h11, w11) \
+        = tables
     bb = jnp.arange(b, dtype=jnp.int32)[:, None, None]
 
     @jax.checkpoint
@@ -404,8 +419,10 @@ def deform_conv2d_quad_tapwise(
         cx = jnp.clip(x0, 0, w - 2)
         p = ry & 1
         q = cx & 1
-        vid = p * 2 + q
-        idx = (bases[vid] + (bb * hps[vid] + ((ry - p) >> 1)) * wqs[vid]
+        base = _select4(p, q, b00, b01, b10, b11)
+        hp = _select4(p, q, h00, h01, h10, h11)
+        wq = _select4(p, q, w00, w01, w10, w11)
+        idx = (base + (bb * hp + ((ry - p) >> 1)) * wq
                + ((cx - q) >> 1))                   # (B,H,W)
         chunk = jnp.take(operand, idx, axis=0)      # (B,H,W,4C)
         c00 = chunk[..., 0 * cin:1 * cin]
