@@ -34,18 +34,66 @@ def main(argv=None):
     detector = create_detector(cfg)
 
     results = {}
-    avg = {s: AverageMeter() for s in
-           ("tot", "load", "pre", "net", "dec", "post", "merge")}
-    for idx in range(len(sampler)):
-        img_id = sampler.images[idx]
-        img = sampler._load_image(img_id)
-        ret = detector.run(img)
-        results[img_id] = ret["results"]
-        for s in avg:
-            avg[s].update(ret[s])
-        if idx % 50 == 0:
-            line = "|".join(f"{s} {avg[s].avg:.3f}s" for s in avg)
-            print(f"[{idx}/{len(sampler)}] {line}")
+    bs = max(1, cfg.eval_batch)
+    if bs > 1:
+        # batched eval (ref src/test.py prefetch_test: loader workers
+        # feed the GPU; here a prefetch thread feeds run_batch, which
+        # compiles ONE program per frame-stack shape and applies TTA
+        # batched)
+        import queue
+        import threading
+        import time
+
+        q: queue.Queue = queue.Queue(maxsize=2 * bs)
+
+        def produce():
+            for idx in range(len(sampler)):
+                img_id = sampler.images[idx]
+                q.put((img_id, sampler._load_image(img_id)))
+            q.put(None)
+
+        threading.Thread(target=produce, daemon=True).start()
+
+        def flush(group):
+            if not group:
+                return
+            outs = detector.run_batch([g[1] for g in group])
+            for (img_id, _), out in zip(group, outs):
+                results[img_id] = out["results"]
+
+        t0 = time.perf_counter()
+        group, done_n = [], 0
+        while True:
+            item = q.get()
+            if item is None:
+                flush(group)
+                done_n += len(group)
+                break
+            # same-shape frames batch together; a shape change or a
+            # full group flushes
+            if group and (len(group) == bs
+                          or item[1].shape != group[0][1].shape):
+                flush(group)
+                done_n += len(group)
+                group = []
+                if done_n % (10 * bs) < bs:
+                    dt = time.perf_counter() - t0
+                    print(f"[{done_n}/{len(sampler)}] "
+                          f"{done_n / dt:.2f} img/s (wall)")
+            group.append(item)
+    else:
+        avg = {s: AverageMeter() for s in
+               ("tot", "load", "pre", "net", "dec", "post", "merge")}
+        for idx in range(len(sampler)):
+            img_id = sampler.images[idx]
+            img = sampler._load_image(img_id)
+            ret = detector.run(img)
+            results[img_id] = ret["results"]
+            for s in avg:
+                avg[s].update(ret[s])
+            if idx % 50 == 0:
+                line = "|".join(f"{s} {avg[s].avg:.3f}s" for s in avg)
+                print(f"[{idx}/{len(sampler)}] {line}")
 
     save_dir = os.path.join(cfg.save_dir, cfg.dataset, cfg.task, cfg.exp_id)
     os.makedirs(save_dir, exist_ok=True)

@@ -58,6 +58,25 @@ def test_test_entry_runs(tmp_path, capsys):
 
 
 @pytest.mark.slow
+def test_test_entry_eval_batch(tmp_path, capsys):
+    """--eval_batch routes the split through run_batch (one compiled
+    program per frame-stack shape, prefetch thread feeding it)."""
+    from centerpoly_tpu.test import main
+
+    root = _make_dataroot(tmp_path)
+    save_root = tmp_path / "exp"
+    main(["polydet", "--dataset", "cityscapes", "--arch", "res_18",
+          "--input_h", "64", "--input_w", "128", "--K", "8",
+          "--eval_batch", "2",
+          "--data_dir", str(root), "--save_dir", str(save_root),
+          "--exp_id", "smoke_b"])
+    out = capsys.readouterr().out
+    assert "results written to" in out or "instance AP" in out
+    save_dir = save_root / "cityscapes" / "polydet" / "smoke_b"
+    assert (save_dir / "results.json").exists()
+
+
+@pytest.mark.slow
 def test_main_entry_trains_one_epoch(tmp_path):
     from centerpoly_tpu.main import main
 
