@@ -109,6 +109,8 @@ class Config:
                                    # formulation (identical math; see
                                    # models/deform_conv.py)
     eval_batch: int = 1            # frames per compiled program in batch
+    infer_devices: int = 0         # >1: shard run_batch over a 'data'
+                                   # mesh of this many devices
                                    # inference surfaces (run_on_csv);
                                    # >1 uses detector.run_batch
     head_conv: int = -1            # -1 -> 256 for dla/hourglass, 64 for res

@@ -86,8 +86,12 @@ class BaseDetector:
     # subclasses set: row length of a post-processed detection
     det_len: int = 5
 
-    def __init__(self, cfg: Config, variables=None, rng_seed: int = 0):
+    def __init__(self, cfg: Config, variables=None, rng_seed: int = 0,
+                 mesh=None):
         self.cfg = cfg
+        # optional 1-D 'data' mesh for data-parallel batched serving:
+        # run_batch shards the frame stack over it (params replicated)
+        self.mesh = mesh
         self.model = create_model(
             cfg.arch, cfg.heads, cfg.head_conv,
             dtype=jnp.bfloat16 if cfg.mixed_precision else jnp.float32)
@@ -247,6 +251,13 @@ class BaseDetector:
         """
         imgs = np.stack([np.asarray(im) for im in images])
         h, w = imgs.shape[1:3]
+        if self.mesh is not None:
+            # sharded batch axis must divide the mesh: pad with copies of
+            # the last frame, whose outputs are simply not read back
+            pad = (-len(images)) % self.mesh.devices.size
+            if pad:
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[-1:], pad, axis=0)])
 
         if getattr(self, "_batch_jit", None) is None:
             cfg = self.cfg
@@ -261,7 +272,21 @@ class BaseDetector:
                 _, dets = self._process_device(variables, x)
                 return dets
 
-            self._batch_jit = jax.jit(prog)
+            if self.mesh is not None:
+                # data-parallel serving: frames sharded on batch over the
+                # mesh, params replicated — GSPMD splits the whole
+                # warp+forward+decode program across chips (the flip
+                # concat doubles the sharded batch axis, which keeps the
+                # per-device layout)
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                shard = NamedSharding(self.mesh, P("data"))
+                repl = NamedSharding(self.mesh, P())
+                self._batch_jit = jax.jit(
+                    prog,
+                    in_shardings=(repl, shard, repl, repl, repl),
+                    out_shardings=shard)
+            else:
+                self._batch_jit = jax.jit(prog)
 
         frames_dev = jnp.asarray(imgs)
         per_scale = []
@@ -413,9 +438,13 @@ DETECTORS = {
 }
 
 
-def create_detector(cfg: Config, variables=None) -> BaseDetector:
-    """detector_factory equivalent (ref detectors/detector_factory.py)."""
+def create_detector(cfg: Config, variables=None, mesh=None) -> BaseDetector:
+    """detector_factory equivalent (ref detectors/detector_factory.py).
+
+    mesh: optional 1-D 'data' jax.sharding.Mesh; run_batch then serves
+    the frame stack data-parallel across its devices.
+    """
     cls = DETECTORS.get(cfg.task) or _task_detectors().get(cfg.task)
     if cls is None:
         raise ValueError(f"no detector for task '{cfg.task}'")
-    return cls(cfg, variables=variables)
+    return cls(cfg, variables=variables, mesh=mesh)

@@ -41,7 +41,11 @@ def main(argv=None):
     meta_cls = DATASETS.get(cfg.dataset)
     class_names = (meta_cls.class_name[1:] if meta_cls
                    else [str(i) for i in range(cfg.num_classes)])
-    detector = create_detector(cfg)
+    mesh = None
+    if cfg.infer_devices > 1:
+        from centerpoly_tpu.train.mesh import make_mesh
+        mesh = make_mesh(cfg.infer_devices)
+    detector = create_detector(cfg, mesh=mesh)
 
     with open(source_csv) as f:
         images = sorted({line.split(",")[0].strip()

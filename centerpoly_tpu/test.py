@@ -31,7 +31,11 @@ def main(argv=None):
         raise SystemExit(f"task '{cfg.task}' has no sampler")
     sampler = sampler_cls(cfg, meta, ann, split=split,
                           img_dir=meta.img_dir(split))
-    detector = create_detector(cfg)
+    mesh = None
+    if cfg.infer_devices > 1:
+        from centerpoly_tpu.train.mesh import make_mesh
+        mesh = make_mesh(cfg.infer_devices)
+    detector = create_detector(cfg, mesh=mesh)
 
     results = {}
     bs = max(1, cfg.eval_batch)

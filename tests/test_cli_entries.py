@@ -58,6 +58,39 @@ def test_test_entry_runs(tmp_path, capsys):
 
 
 @pytest.mark.slow
+def test_run_batch_sharded_over_mesh():
+    """Data-parallel serving: run_batch with a 1-D 'data' mesh shards
+    the frame stack across devices (8-device virtual CPU mesh).  At 8
+    frames over 8 devices each device runs batch-1 — the same program
+    shapes as per-image run(), so results must match it."""
+    import numpy as np
+    from centerpoly_tpu.configs import Config
+    from centerpoly_tpu.infer.detector import PolydetDetector
+    from centerpoly_tpu.train.mesh import make_mesh
+
+    cfg = Config(task="polydet", dataset="cityscapes", arch="res_18",
+                 input_h=64, input_w=128, K=8)
+    det = PolydetDetector(cfg)
+    det_sh = PolydetDetector(cfg, variables=det.variables,
+                             mesh=make_mesh(8))
+    rng = np.random.RandomState(2)
+    frames = [(rng.rand(64, 128, 3) * 255).astype(np.uint8)
+              for _ in range(8)]
+    outs = det_sh.run_batch(frames)
+    assert len(outs) == 8
+    for i in (0, 3, 7):
+        single = det.run(frames[i])["results"]
+        sharded = outs[i]["results"]
+        for j in single:
+            a, b = np.asarray(single[j]), np.asarray(sharded[j])
+            assert a.shape == b.shape, (i, j, a.shape, b.shape)
+            if a.size:
+                a = a[np.lexsort(a.T)]
+                b = b[np.lexsort(b.T)]
+                np.testing.assert_allclose(a, b, atol=2e-3)
+
+
+@pytest.mark.slow
 def test_test_entry_eval_batch(tmp_path, capsys):
     """--eval_batch routes the split through run_batch (one compiled
     program per frame-stack shape, prefetch thread feeding it)."""
