@@ -40,10 +40,14 @@ MXU-shaped.
 Semantics: identical to models.deform_conv.deform_conv2d with
 y-offsets pre-clamped to [-R, R] (zero padding outside the image either
 way; x-offsets unbounded/exact).  deform_conv2d_rowband_ref is the
-bit-exact jax-level oracle used by the tests.  The backward pass is the
-XLA autodiff of the oracle (custom_vjp recomputes with the production
-quad/tapwise formulation); training keeps the XLA path as its default,
-this kernel targets the inference hot path.
+bit-exact jax-level oracle used by the tests.  The backward pass is a
+FUSED Pallas kernel too (_rowband_bwd_kernel): with T = band @ B2 the
+whole cotangent chain is matmuls (dband = dT @ B2^T, dB2 = band^T @ dT)
+plus f32 hat-derivative differencing for the offset grads; dW/dmask/db
+are XLA einsums of the re-emitted per-tap samples, and dx is the
+XLA-side adjoint of the band construction (D shifted slice-adds).
+Verified against XLA autodiff of the oracle in interpret mode for all
+five grads (tests/test_dcn_rowband.py).
 
 Layout notes (Mosaic constraints, same ground rules as dcn_halo.py):
 everything in-kernel is 2-D; offsets/masks arrive transposed
@@ -121,6 +125,159 @@ def _rowband_kernel(band_ref, off_ref, mask_ref, w_ref, b_ref, o_ref,
                                 (samp * m_k).astype(cdt),
                                 preferred_element_type=jnp.float32)
     o_ref[0] = acc
+
+
+def _rowband_bwd_kernel(band_ref, off_ref, gkm_ref, samp_ref, doff_ref,
+                        dband_ref, dt_s, dband_s, *, C, W, R):
+    """Fused backward for one output row.
+
+    With T_k = band @ B2_k, samp_k = sum_du wy_du * T_k[duC:(du+1)C] and
+    out = sum_k W_k^T (samp_k * m_k), the cotangent chain is all
+    matmuls: given gkm_k = (W_k @ g) * m_k,
+
+      dT_k[duC+c, p] = gkm_k[c, p] * wy_du[p]
+      dband         += dT_k  @ B2_k^T     (contract on the p axis)
+      dB2_k          = band^T @ dT_k      (contract on the band rows)
+      d(ox)[p]       = sum_j dB2_k[j, p] * d/dsx hat(sx[p] - j)
+      d(oy)[p]       = sum_du (sum_c gkm_k * T_k[du]) * d/dy hat(dy - r)
+
+    samp_k is re-emitted for the XLA-side dW/dmask/db contractions
+    (keeping them in-kernel is unnecessary VMEM pressure — same split
+    as dcn_halo).  Hat derivatives difference in f32 before any store
+    (the dcn_halo lesson: offset grads are differences of neighbor
+    correlations and die in bf16).
+    """
+    D = 2 * R + 4
+    band = band_ref[0]                                   # (D*C, W)
+    cdt = band.dtype
+    iota_j = jax.lax.broadcasted_iota(jnp.float32, (W, W), 0)
+    p_idx = jax.lax.broadcasted_iota(jnp.float32, (1, W), 1)
+    ky, kx = _tap_grid()
+    dband_s[:] = jnp.zeros((D * C, W), jnp.float32)
+    for k in range(9):
+        oy = off_ref[0][2 * k:2 * k + 1, :].astype(jnp.float32)
+        ox = off_ref[0][2 * k + 1:2 * k + 2, :].astype(jnp.float32)
+        dy = oy + ky[k]
+        sx = p_idx + ox + kx[k]
+        x0 = jnp.floor(sx)
+        fx = sx - x0
+        hit0 = (iota_j == x0).astype(jnp.float32)
+        hit1 = (iota_j == x0 + 1.0).astype(jnp.float32)
+        b2 = hit0 * (1.0 - fx) + hit1 * fx               # (W_j, W_p)
+        t = jax.lax.dot(band, b2.astype(cdt),
+                        preferred_element_type=jnp.float32)  # (D*C, W)
+        gk = gkm_ref[0][k * C:(k + 1) * C, :].astype(jnp.float32)
+        doff_y = jnp.zeros((1, W), jnp.float32)
+        samp = jnp.zeros((C, W), jnp.float32)
+        for du in range(D):
+            r_rel = float(du - (R + 1))
+            ay = dy - r_rel
+            wy = jnp.maximum(0.0, 1.0 - jnp.abs(ay))     # (1, W)
+            t_du = t[du * C:(du + 1) * C, :]
+            samp = samp + t_du * wy
+            dt_s[du * C:(du + 1) * C, :] = gk * wy
+            # d/d(dy) hat(ay): -sign inside the unit window (f32)
+            dhy = jnp.where(jnp.abs(ay) < 1.0, -jnp.sign(ay), 0.0)
+            doff_y = doff_y + jnp.sum(gk * t_du, axis=0,
+                                      keepdims=True) * dhy
+        samp_ref[0, k * C:(k + 1) * C, :] = samp.astype(samp_ref.dtype)
+        dt = dt_s[:]
+        # dband += dT @ B2^T: contract the output-pixel axis of both
+        dband_s[:] += jax.lax.dot_general(
+            dt.astype(cdt), b2.astype(cdt), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # dB2 = band^T @ dT: contract the band-row axis of both
+        db2 = jax.lax.dot_general(
+            band, dt.astype(cdt), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # (W_j, W_p)
+        # d/dsx hat(sx - j) = (j == x0+1) - (j == x0) inside the cell
+        doff_x = jnp.sum(db2 * (hit1 - hit0), axis=0, keepdims=True)
+        doff_ref[0, 2 * k:2 * k + 1, :] = doff_y
+        doff_ref[0, 2 * k + 1:2 * k + 2, :] = doff_x
+    dband_ref[0] = dband_s[:]
+
+
+def _bwd_vmem(c: int, cout: int, w: int, R: int, itemsize: int) -> int:
+    d = 2 * R + 4
+    band = d * c * w * itemsize
+    f32 = 4
+    return (2 * band + 2 * (9 * c * w * f32)      # gkm in, samp out
+            + 4 * d * c * w * f32                 # t, dt, dband x2
+            + 2 * w * w * (f32 + itemsize)        # b2, db2
+            + 4 * 18 * w * f32)
+
+
+def _pallas_bwd(x, offsets, masks, weights, g, R, interpret=False):
+    """Pallas backward: returns (dx, doffsets, dmasks, dweights, dbias).
+
+    offsets arrive y-PRE-CLAMPED (the custom_vjp wrapper owns the clamp
+    and its saturation pass-through)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = x.shape
+    cout = weights.shape[-1]
+    D = 2 * R + 4
+    z = b * h
+    xt = jnp.transpose(x, (0, 1, 3, 2))
+    xt = jnp.pad(xt, ((0, 0), (R + 1, R + 2), (0, 0), (0, 0)))
+    band = jnp.concatenate([xt[:, d:d + h] for d in range(D)], axis=2)
+    band = band.reshape(z, D * c, w)
+    offt = jnp.transpose(offsets.astype(jnp.float32),
+                         (0, 1, 3, 2)).reshape(z, 18, w)
+    maskt = jnp.transpose(masks.astype(jnp.float32),
+                          (0, 1, 3, 2)).reshape(z, 9, w)
+    gt = jnp.transpose(g.astype(jnp.float32),
+                       (0, 1, 3, 2)).reshape(z, cout, w)
+    wk = weights.reshape(9, c, cout).astype(jnp.float32)
+    # gk0[z,k,c,p] = W_k @ g (no mask); gkm = gk0 * m_k feeds the kernel
+    gk0 = jnp.einsum("kco,zop->zkcp", wk, gt)
+    gkm = (gk0 * maskt[:, :, None, :]).reshape(z, 9 * c, w)
+
+    kern = functools.partial(_rowband_bwd_kernel, C=c, W=w, R=R)
+    samp, dofft, dband = pl.pallas_call(
+        kern,
+        grid=(z,),
+        in_specs=[
+            pl.BlockSpec((1, D * c, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 18, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 9 * c, w), lambda i: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 9 * c, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 18, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, D * c, w), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((z, 9 * c, w), x.dtype),
+            jax.ShapeDtypeStruct((z, 18, w), jnp.float32),
+            jax.ShapeDtypeStruct((z, D * c, w), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((D * c, w), jnp.float32),
+                        pltpu.VMEM((D * c, w), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(band, offt, gkm.astype(jnp.float32))
+
+    # dx: adjoint of the band construction — D shifted slice-adds into
+    # the padded rows, then crop and transpose back
+    dband = dband.reshape(b, h, D, c, w)
+    dxt_pad = jnp.zeros((b, h + D - 1, c, w), jnp.float32)
+    for d in range(D):
+        dxt_pad = dxt_pad.at[:, d:d + h].add(dband[:, :, d])
+    dx = jnp.transpose(dxt_pad[:, R + 1:R + 1 + h], (0, 1, 3, 2))
+
+    doff = jnp.transpose(dofft.reshape(b, h, 18, w), (0, 1, 3, 2))
+    samp_f = samp.reshape(z, 9, c, w).astype(jnp.float32)
+    dmask = jnp.einsum("zkcp,zkcp->zkp", gk0, samp_f)
+    dmask = jnp.transpose(dmask.reshape(b, h, 9, w), (0, 1, 3, 2))
+    sm = samp_f * maskt[:, :, None, :]
+    dw = jnp.einsum("zkcp,zop->kco", sm, gt).reshape(3, 3, c, cout)
+    db = jnp.sum(gt, axis=(0, 2))
+    return (dx.astype(x.dtype), doff.astype(offsets.dtype),
+            dmask.astype(masks.dtype), dw.astype(weights.dtype),
+            db.astype(weights.dtype))
 
 
 def _fwd_vmem(c: int, cout: int, w: int, R: int, itemsize: int) -> int:
@@ -202,11 +359,26 @@ def _rowband_fwd_rule(x, offsets, masks, weights, bias, max_offset,
 def _rowband_bwd_rule(max_offset, interpret, res, g):
     x, offsets, masks, weights, bias = res
     if bias is None:
-        bias = jnp.zeros((weights.shape[-1],), x.dtype)
-    _, vjp = jax.vjp(
-        lambda *a: deform_conv2d_rowband_ref(*a, max_offset),
-        x, offsets, masks, weights, bias)
-    return vjp(g.astype(x.dtype))
+        # bias-less primal: keep the XLA-autodiff path (grad structure
+        # must mirror the primal args)
+        _, vjp = jax.vjp(
+            lambda *a: deform_conv2d_rowband_ref(
+                a[0], a[1], a[2], a[3],
+                jnp.zeros((weights.shape[-1],), x.dtype), max_offset),
+            x, offsets, masks, weights)
+        return vjp(g.astype(x.dtype)) + (None,)
+    r = float(max_offset)
+    off_c = _clamp_y(offsets, r)
+    dx, doff, dmask, dw, db = _pallas_bwd(
+        x, off_c, masks, weights, g, max_offset, interpret)
+    # y-clamp pass-through: zero y-offset grads where the clamp saturated
+    oy = offsets[..., 0::2]
+    keep = (oy > -r) & (oy < r)
+    doff = jnp.stack([jnp.where(keep, doff[..., 0::2], 0.0),
+                      doff[..., 1::2]], axis=-1).reshape(offsets.shape)
+    return (dx, doff.astype(offsets.dtype), dmask, dw,
+            db.astype(jnp.float32).astype(
+                bias.dtype if hasattr(bias, "dtype") else weights.dtype))
 
 
 deform_conv2d_rowband.defvjp(_rowband_fwd_rule, _rowband_bwd_rule)
@@ -229,8 +401,9 @@ def rowband_supported(h: int, w: int, c: int, cout: int,
     dtype = jnp.dtype(dtype)
     key = (h, w, c, cout, max_offset, dtype.name)
     if key not in _ROWBAND_PROBED:
-        if _fwd_vmem(c, cout, w, max_offset,
-                     dtype.itemsize) > _VMEM_BUDGET:
+        if max(_fwd_vmem(c, cout, w, max_offset, dtype.itemsize),
+               _bwd_vmem(c, cout, w, max_offset,
+                         dtype.itemsize)) > _VMEM_BUDGET:
             _ROWBAND_PROBED[key] = False
             return False
         try:
@@ -239,9 +412,15 @@ def rowband_supported(h: int, w: int, c: int, cout: int,
             mk = jnp.ones((1, h, w, 9), jnp.float32)
             wt = jnp.zeros((3, 3, c, cout), dtype)
             bs = jnp.zeros((cout,), dtype)
-            jax.jit(functools.partial(
-                deform_conv2d_rowband, max_offset=max_offset)).lower(
-                    xp, off, mk, wt, bs).compile()
+
+            def loss(*a):
+                return jnp.sum(deform_conv2d_rowband(
+                    *a, max_offset).astype(jnp.float32) ** 2)
+
+            # fwd AND bwd must compile: training must not discover a
+            # Mosaic failure at step time
+            jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4))).lower(
+                xp, off, mk, wt, bs).compile()
             _ROWBAND_PROBED[key] = True
         except Exception:
             _ROWBAND_PROBED[key] = False

@@ -1,10 +1,12 @@
 """Row-band one-hot-matmul DCNv2 kernel (kernels/dcn_rowband.py).
 
 Interpret-mode numerics run on CPU every time (small shapes, R=2):
-forward vs the y-clamped-offset XLA oracle, and the custom_vjp backward
-(XLA autodiff of the oracle) for all five grads.  Gating tests cover
-the env switch; the real-chip compile probe is exercised by
-experiments/bench_dcn_kernel.py on TPU.
+forward vs the y-clamped-offset XLA oracle, and the FUSED Pallas
+backward kernel vs XLA autodiff of the oracle — grads for x, offsets,
+masks, weights, bias (incl. the y-clamp saturation pass-through, since
+the offset scale pushes past R).  Gating tests cover the env switch;
+the real-chip compile probe is exercised by
+experiments/bench_dcn_rowband.py on TPU.
 """
 import numpy as np
 import pytest
