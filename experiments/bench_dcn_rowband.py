@@ -104,6 +104,38 @@ def main():
             row[f"{name}_s"] = round(bench(fn), 6)
         best_xla = min(row[f"{n}_s"] for n in xla_fns)
         row["rowband_vs_best_xla"] = round(best_xla / row["rowband_s"], 3)
+
+        # backward: fused Pallas bwd kernel vs XLA autodiff (same clamp)
+        def rb_loss(*a):
+            return jnp.sum(deform_conv2d_rowband(*a, args.r).astype(
+                jnp.float32) ** 2)
+
+        def xla_loss(*a):
+            from centerpoly_tpu.models.deform_conv import deform_conv2d_quad
+            return jnp.sum(deform_conv2d_quad(
+                a[0], _clamp_y(a[1], r), *a[2:]).astype(jnp.float32) ** 2)
+
+        def bench_g(loss):
+            def scalar(eps, *a):
+                gr = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+                    a[0] + eps.astype(a[0].dtype), *a[1:])
+                return sum(jnp.sum(t.astype(jnp.float32)) for t in gr)
+            return measure_device_time(scalar, (x, off, mk, wt, bs),
+                                       reps=3)
+
+        t0 = time.perf_counter()
+        try:
+            gk = jax.jit(jax.grad(rb_loss, argnums=(0, 1, 2, 3, 4)))(
+                x, off, mk, wt, bs)
+            jax.block_until_ready(gk)
+            row["rowband_bwd_compile_s"] = round(
+                time.perf_counter() - t0, 1)
+            row["rowband_bwd_s"] = round(bench_g(rb_loss), 6)
+            row["xla_quad_bwd_s"] = round(bench_g(xla_loss), 6)
+            row["rowband_bwd_vs_xla_quad"] = round(
+                row["xla_quad_bwd_s"] / row["rowband_bwd_s"], 3)
+        except Exception as e:
+            row["rowband_bwd_error"] = str(e).splitlines()[0][:200]
         print(json.dumps(row), flush=True)
 
 
