@@ -737,6 +737,10 @@ class DCNv2(nn.Module):
         )(x)
         offsets = om[..., :18]
         masks = jax.nn.sigmoid(om[..., 18:])
+        # observability for the bounded-offset kernels: collected only
+        # when apply(..., mutable=["intermediates"]) asks for it
+        # (tools/analyze_dcn_offsets.py picks R from these)
+        self.sow("intermediates", "dcn_offsets", offsets)
         weights = self.param(
             "kernel",
             nn.initializers.he_normal(),
