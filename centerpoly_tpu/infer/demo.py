@@ -53,12 +53,14 @@ def _timing_line(ret) -> str:
 
 def run_video(detector, source: str, vis_thresh: float = 0.3,
               out_video: str | None = None, max_frames: int = 0,
-              show: bool = False) -> int:
+              show: bool = False, batch: int = 1) -> int:
     """Reference demo.py:23-36 VideoCapture loop, headless-capable.
 
     source: "webcam" (device 0) or a video file path.  Returns the number
     of frames processed.  Stops at end-of-stream, esc (when --show), or
-    after max_frames (>0).
+    after max_frames (>0).  batch > 1 (without --show) groups frames
+    through Detector.run_batch — one compiled program per frame stack,
+    the way an offline transcode should feed a TPU.
     """
     import cv2
 
@@ -67,31 +69,59 @@ def run_video(detector, source: str, vis_thresh: float = 0.3,
         raise SystemExit(f"cannot open video source {source!r}")
     writer = None
     n = 0
+
+    def emit(img, results):
+        nonlocal writer
+        if out_video is None and not show:
+            return True
+        overlay = draw_overlay(img, results, vis_thresh)
+        if out_video is not None:
+            if writer is None:
+                h, w = overlay.shape[:2]
+                writer = cv2.VideoWriter(
+                    out_video, cv2.VideoWriter_fourcc(*"MJPG"),
+                    cam.get(cv2.CAP_PROP_FPS) or 30.0, (w, h))
+            writer.write(overlay)
+        if show:
+            cv2.imshow("input", img)
+            cv2.imshow("polydet", overlay)
+            if cv2.waitKey(1) == 27:  # esc to quit (ref demo.py:35)
+                return False
+        return True
+
     try:
-        while True:
-            ok, img = cam.read()
-            if not ok or img is None:
-                break
-            ret = detector.run(img)
-            print(f"frame {n}: {_timing_line(ret)}")
-            if out_video is not None or show:
-                overlay = draw_overlay(img, ret["results"], vis_thresh)
-                if out_video is not None:
-                    if writer is None:
-                        h, w = overlay.shape[:2]
-                        writer = cv2.VideoWriter(
-                            out_video,
-                            cv2.VideoWriter_fourcc(*"MJPG"),
-                            cam.get(cv2.CAP_PROP_FPS) or 30.0, (w, h))
-                    writer.write(overlay)
-                if show:
-                    cv2.imshow("input", img)
-                    cv2.imshow("polydet", overlay)
-                    if cv2.waitKey(1) == 27:  # esc to quit (ref demo.py:35)
-                        break
-            n += 1
-            if max_frames and n >= max_frames:
-                break
+        if batch > 1 and not show:
+            import time
+            buf, done = [], False
+            t0 = time.perf_counter()
+            while not done:
+                ok, img = cam.read()
+                if not ok or img is None:
+                    done = True
+                else:
+                    buf.append(img)
+                if max_frames and n + len(buf) >= max_frames:
+                    done = True
+                if buf and (done or len(buf) == batch):
+                    for img_i, out in zip(buf,
+                                          detector.run_batch(buf)):
+                        emit(img_i, out["results"])
+                    n += len(buf)
+                    dt = time.perf_counter() - t0
+                    print(f"frame {n}: {n / dt:.2f} img/s (wall)")
+                    buf = []
+        else:
+            while True:
+                ok, img = cam.read()
+                if not ok or img is None:
+                    break
+                ret = detector.run(img)
+                print(f"frame {n}: {_timing_line(ret)}")
+                if not emit(img, ret["results"]):
+                    break
+                n += 1
+                if max_frames and n >= max_frames:
+                    break
     finally:
         cam.release()
         if writer is not None:
@@ -137,7 +167,8 @@ def main(argv=None):
     if (demo_path == "webcam"
             or os.path.splitext(demo_path)[1].lower() in VIDEO_EXTS):
         run_video(detector, demo_path, cfg.vis_thresh,
-                  out_video=out_video, max_frames=max_frames, show=show)
+                  out_video=out_video, max_frames=max_frames, show=show,
+                  batch=max(1, cfg.eval_batch))
         return
     if os.path.isdir(demo_path):
         files = [os.path.join(demo_path, f)

@@ -222,3 +222,32 @@ def test_demo_video_entry(tmp_path, capsys):
         n += 1
     cap.release()
     assert n == 3
+
+
+@pytest.mark.slow
+def test_demo_video_entry_batched(tmp_path, capsys):
+    """--eval_batch groups video frames through run_batch; the annotated
+    output must still contain every frame, in order."""
+    cv2 = pytest.importorskip("cv2")
+    from centerpoly_tpu.infer.demo import main
+
+    src = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                        (128, 64))
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        w.write((rng.rand(64, 128, 3) * 255).astype(np.uint8))
+    w.release()
+
+    out_video = str(tmp_path / "clip_out_b.avi")
+    main(["polydet", "--dataset", "cityscapes", "--arch", "res_18",
+          "--input_h", "64", "--input_w", "128", "--K", "8",
+          "--eval_batch", "2",
+          "--demo", src, "--out_video", out_video, "--max_frames", "5"])
+    assert os.path.exists(out_video)
+    cap = cv2.VideoCapture(out_video)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 5
