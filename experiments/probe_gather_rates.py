@@ -69,6 +69,15 @@ def main():
       (x2, idx2), nK, 256)
     t("take_rows_512B_4C", lambda x, i: jnp.take(x, i, axis=0),
       (x4, idx4), nK, 512)
+    # find the byte ceiling: where does chunk rate stop being free?
+    x8 = jnp.asarray(rng.randn(N // 8, 8 * C), jnp.bfloat16)   # 1KB
+    x16 = jnp.asarray(rng.randn(N // 16, 16 * C), jnp.bfloat16)  # 2KB
+    idx8 = jnp.asarray(rng.randint(0, N // 8, (N, K)), jnp.int32)
+    idx16 = jnp.asarray(rng.randint(0, N // 16, (N, K)), jnp.int32)
+    t("take_rows_1KB_8C", lambda x, i: jnp.take(x, i, axis=0),
+      (x8, idx8), nK, 1024)
+    t("take_rows_2KB_16C", lambda x, i: jnp.take(x, i, axis=0),
+      (x16, idx16), nK, 2048)
     t("take_along_W_128B",
       lambda x, i: jnp.take_along_axis(
           x[:, :, :, None, :], i[..., None], axis=2),

@@ -43,9 +43,12 @@ CENTERPOLY_DCN_FORMULATION=tapwise timeout 3000 python experiments/bench_train_i
 echo "=== 7. batched throughput ==="
 timeout 1800 python experiments/bench_batch.py
 
-echo "=== 8. stem layout + gather-rate probes ==="
+echo "=== 8. stem layout + gather-rate probes (512B rows decide the quad byte-ceiling question) ==="
 timeout 1200 python experiments/probe_stem_layout.py
 timeout 1200 python experiments/probe_gather_rates.py
+
+echo "=== 8b. Mosaic compile-surface re-bisect (toolchain may have moved) ==="
+timeout 1200 python experiments/probe_mosaic_gather.py
 
 echo "=== 9. the driver bench ==="
 timeout 1800 python bench.py
