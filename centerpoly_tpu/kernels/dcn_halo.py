@@ -204,12 +204,20 @@ def _samp_kernel(x_ref, off_ref, samp_ref, *, N, Wp, CB, R, mode="val"):
         for k in range(9):
             ay = off_ref[0][:, 2 * k:2 * k + 1] + ky[k] - uf
             ax = off_ref[0][:, 2 * k + 1:2 * k + 2] + kx[k] - vf
+            # hat derivative uses the ONE-SIDED floor/frac convention
+            # (-1 on [0,1), +1 on [-1,0)); -sign(a) is 0 at integer
+            # displacements — i.e. at zero offset init — where the
+            # oracle's derivative is -1, and grads would freeze there.
             if mode == "dy":
-                fy = jnp.where(jnp.abs(ay) < 1.0, -jnp.sign(ay), 0.0)
+                fy = jnp.where((ay >= 0.0) & (ay < 1.0), -1.0,
+                               jnp.where((ay >= -1.0) & (ay < 0.0),
+                                         1.0, 0.0))
             else:
                 fy = jnp.maximum(0.0, 1.0 - jnp.abs(ay))
             if mode == "dx":
-                fx = jnp.where(jnp.abs(ax) < 1.0, -jnp.sign(ax), 0.0)
+                fx = jnp.where((ax >= 0.0) & (ax < 1.0), -1.0,
+                               jnp.where((ax >= -1.0) & (ax < 0.0),
+                                         1.0, 0.0))
             else:
                 fx = jnp.maximum(0.0, 1.0 - jnp.abs(ax))
             # <=4 of the (2R+3)^2 hat cells are nonzero per pixel, so
@@ -431,7 +439,13 @@ def _halo_bwd_rule(max_offset, interpret, res, g):
     dx, doff, dmask, dw, db = _pallas_bwd(
         x, offsets, masks, weights, g.astype(x.dtype), max_offset,
         interpret)
-    # clamp pass-through: zero offset grads where the clamp saturated
+    # clamp pass-through: zero offset grads where the clamp saturated,
+    # INCLUDING the exact bound.  jnp.clip's tie convention would pass
+    # 0.5 of a one-sided derivative there, but the derivative's
+    # floor+1 cell for the extreme taps (|ky|=1 toward the bound) lies
+    # outside the swept band u ∈ [-(R+1), R+1], so the kernel cannot
+    # reproduce it; exact-bound offsets are measure-zero in training
+    # and the clamp itself is already our deviation from the reference.
     r = float(max_offset)
     doff = jnp.where((offsets > -r) & (offsets < r), doff, 0.0)
     return (dx, doff.astype(offsets.dtype), dmask.astype(masks.dtype),

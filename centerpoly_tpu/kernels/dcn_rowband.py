@@ -176,8 +176,14 @@ def _rowband_bwd_kernel(band_ref, off_ref, gkm_ref, samp_ref, doff_ref,
             t_du = t[du * C:(du + 1) * C, :]
             samp = samp + t_du * wy
             dt_s[du * C:(du + 1) * C, :] = gk * wy
-            # d/d(dy) hat(ay): -sign inside the unit window (f32)
-            dhy = jnp.where(jnp.abs(ay) < 1.0, -jnp.sign(ay), 0.0)
+            # d/d(dy) hat(ay) under the floor/frac convention the oracle
+            # autodiffs: -1 on the floor cell [0,1), +1 on the ceil cell
+            # [-1,0).  NOT -sign(ay): that is 0 at integer dy, which is
+            # every pixel at offset init (conv_offset starts at zero) —
+            # the one-sided derivative there is -1, not 0.
+            dhy = jnp.where((ay >= 0.0) & (ay < 1.0), -1.0,
+                            jnp.where((ay >= -1.0) & (ay < 0.0), 1.0,
+                                      0.0))
             doff_y = doff_y + jnp.sum(gk * t_du, axis=0,
                                       keepdims=True) * dhy
         samp_ref[0, k * C:(k + 1) * C, :] = samp.astype(samp_ref.dtype)
@@ -337,8 +343,9 @@ def _pallas_fwd(x, offsets, masks, weights, bias, R, interpret=False):
 def deform_conv2d_rowband(x, offsets, masks, weights, bias,
                           max_offset: int = DEFAULT_MAX_OFFSET,
                           interpret: bool = False):
-    """Row-band Pallas DCNv2 forward; backward = XLA autodiff of the
-    oracle (same math: y-clamped offsets, exact x).
+    """Row-band Pallas DCNv2 forward; backward = the fused Pallas
+    kernel _rowband_bwd_kernel (XLA autodiff of the oracle is used only
+    in the bias=None corner case — see _rowband_bwd_rule).
 
     Same contract as deform_conv2d with y-offsets clamped to
     [-max_offset, max_offset]; deform_conv2d_rowband_ref is the oracle.
@@ -371,10 +378,13 @@ def _rowband_bwd_rule(max_offset, interpret, res, g):
     off_c = _clamp_y(offsets, r)
     dx, doff, dmask, dw, db = _pallas_bwd(
         x, off_c, masks, weights, g, max_offset, interpret)
-    # y-clamp pass-through: zero y-offset grads where the clamp saturated
+    # y-clamp pass-through: scale y-offset grads by d clip/d oy — 1 in
+    # the interior, 0 when saturated, 0.5 AT the exact bound (jnp.clip's
+    # min/max tie convention; keeps us oracle-exact there too)
     oy = offsets[..., 0::2]
-    keep = (oy > -r) & (oy < r)
-    doff = jnp.stack([jnp.where(keep, doff[..., 0::2], 0.0),
+    keep = (jnp.where(oy > -r, 1.0, jnp.where(oy == -r, 0.5, 0.0))
+            * jnp.where(oy < r, 1.0, jnp.where(oy == r, 0.5, 0.0)))
+    doff = jnp.stack([doff[..., 0::2] * keep,
                       doff[..., 1::2]], axis=-1).reshape(offsets.shape)
     return (dx, doff.astype(offsets.dtype), dmask, dw,
             db.astype(jnp.float32).astype(

@@ -70,6 +70,33 @@ class TestInterpretNumerics:
         ref = deform_conv2d_halo_ref(x, off, mask, wt, bias, self.R)
         assert float(jnp.max(jnp.abs(out - ref))) < 1e-5
 
+    def test_offset_grads_at_integer_offsets(self):
+        """Zero / interior-integer offsets must match the oracle: the
+        hat derivative uses the one-sided floor/frac convention, not
+        -sign (which is 0 at integer displacements — every pixel at
+        offset init).  Exact-bound offsets (|off| == R) deliberately
+        deviate (zeroed; see _halo_bwd_rule) and are not tested here."""
+        x, off, mask, wt, bias = _inputs()
+        r = self.R
+
+        def gk(o):
+            return jax.grad(lambda oo: jnp.sum(
+                deform_conv2d_halo(x, oo, mask, wt, bias, r, True) ** 2))(o)
+
+        def gr(o):
+            return jax.grad(lambda oo: jnp.sum(
+                deform_conv2d_halo_ref(x, oo, mask, wt, bias, r) ** 2))(o)
+
+        zero = jnp.zeros_like(off)
+        ints = jnp.asarray(
+            np.random.RandomState(3).randint(-(r - 1), r, off.shape),
+            jnp.float32)
+        for o in (zero, ints):
+            a, b = gk(o), gr(o)
+            assert float(jnp.max(jnp.abs(b))) > 0.1
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-4)
+
     @pytest.mark.slow
     def test_backward_kernel_matches_xla_autodiff(self):
         x, off, mask, wt, bias = _inputs()

@@ -120,6 +120,29 @@ class TestInterpretNumerics:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-4)
 
+    def test_grads_at_integer_offsets(self):
+        """Zero / integer offsets: the hat derivative must use the
+        one-sided floor/frac convention (-1 on [0,1), +1 on [-1,0)).
+        -sign(ay) is 0 at integer dy — i.e. at zero offset init, where
+        a wrong kernel silently freezes every y-offset forever
+        (regression: round-3 review finding)."""
+        x, off, mask, wt, bias = _inputs(b=1, h=6, w=8)
+
+        def loss(fn):
+            return lambda o: jnp.sum(fn(x, o, mask, wt, bias) ** 2)
+
+        k = loss(lambda *a: deform_conv2d_rowband(*a, 2, True))
+        r = loss(lambda *a: deform_conv2d_rowband_ref(*a, 2))
+        zero = jnp.zeros_like(off)
+        ints = jnp.asarray(
+            np.random.RandomState(3).randint(-1, 2, off.shape),
+            jnp.float32)
+        for o in (zero, ints):
+            g_k, g_r = jax.grad(k)(o), jax.grad(r)(o)
+            assert float(jnp.max(jnp.abs(g_r))) > 0.1  # non-degenerate
+            np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_r),
+                                       rtol=1e-3, atol=1e-4)
+
     def test_wider_channels(self):
         """C != Cout and a wider-than-sublane channel count."""
         x, off, mask, wt, bias = _inputs(h=4, w=8, c=16, cout=24)
