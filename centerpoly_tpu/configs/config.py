@@ -81,9 +81,11 @@ def task_heads(task: str, num_classes: int, nbr_points: int = 16,
     return heads
 
 
-# env vars written by a Config (as opposed to exported by the user):
-# only these may be cleared when a later Config reverts to defaults
-_CONFIG_OWNED_ENV: set = set()
+# env vars written by a Config (as opposed to exported by the user),
+# mapped to the user's pre-existing value (None if unset): a later
+# Config reverting to defaults RESTORES that value rather than popping,
+# so a user export survives an intervening non-auto Config
+_CONFIG_OWNED_ENV: dict = {}
 
 
 @dataclasses.dataclass
@@ -228,12 +230,17 @@ class Config:
         # clears any value a PREVIOUS Config wrote (so configs don't leak
         # into each other) but leaves a user-exported env var alone
         import os
+        var = "CENTERPOLY_DCN_FORMULATION"
         if self.dcn_form != "auto":
-            os.environ["CENTERPOLY_DCN_FORMULATION"] = self.dcn_form
-            _CONFIG_OWNED_ENV.add("CENTERPOLY_DCN_FORMULATION")
-        elif "CENTERPOLY_DCN_FORMULATION" in _CONFIG_OWNED_ENV:
-            os.environ.pop("CENTERPOLY_DCN_FORMULATION", None)
-            _CONFIG_OWNED_ENV.discard("CENTERPOLY_DCN_FORMULATION")
+            if var not in _CONFIG_OWNED_ENV:
+                _CONFIG_OWNED_ENV[var] = os.environ.get(var)
+            os.environ[var] = self.dcn_form
+        elif var in _CONFIG_OWNED_ENV:
+            prior = _CONFIG_OWNED_ENV.pop(var)
+            if prior is None:
+                os.environ.pop(var, None)
+            else:
+                os.environ[var] = prior
         self.output_h = self.input_h // self.down_ratio
         self.output_w = self.input_w // self.down_ratio
         self.max_objs = 128

@@ -78,6 +78,7 @@ class Loader:
         self.rank = rank
         self.world = world
         self.rng = np.random.RandomState(seed)
+        self._epoch = 0
 
     @property
     def _num_local(self):
@@ -100,6 +101,13 @@ class Loader:
             # same seed on every rank -> same permutation -> the
             # rank::world strides are disjoint across processes
             self.rng.shuffle(idx)
+        elif self.world > 1:
+            # unshuffled (val): rotate the index space by the remainder
+            # each epoch so the floor(N/world) truncation below doesn't
+            # exclude the SAME trailing samples from every epoch's eval
+            idx = np.roll(idx, -self._epoch * (self.num_samples
+                                               % self.world))
+        self._epoch += 1
         if self.world > 1:
             idx = idx[self.rank::self.world][:self._num_local]
         n = len(self) * self.batch_size if self.drop_last else len(idx)

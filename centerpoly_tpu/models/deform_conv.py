@@ -635,13 +635,44 @@ def resolve_formulation(b: int, h: int, w: int, cin: int,
     form = os.environ.get("CENTERPOLY_DCN_FORMULATION", "auto").lower()
     if form in FORMULATIONS:
         return form
+    need_remat = train and _dcn_remat_on(b, h, w, cin)
     hit = _auto_table().get(f"{b},{h},{w},{cin},{int(bool(train))}")
     if hit is not None:
+        if need_remat:
+            # the remat guard is a MEMORY constraint, not a speed pick:
+            # at paper scale only the per-tap-checkpointed formulations
+            # fit HBM, so coerce a measured winner to its tapwise
+            # sibling rather than let a table hit reintroduce the OOM
+            hit = {"fused": "tapwise", "quad": "quad_tapwise"}.get(hit, hit)
         return hit
     big = b * h * w * 9 * cin > (1 << 22)
-    if big or (train and _dcn_remat_on(b, h, w, cin)):
+    if big or need_remat:
         return "tapwise"
     return "fused"
+
+
+def _parse_bounded_mode(prefix: str, default_r: int):
+    """Parse CENTERPOLY_PALLAS_DCN='<prefix>[:<R>]'.
+
+    Returns (requested, R): requested=False when the env doesn't start
+    with the prefix; a malformed R warns and falls back to default_r.
+    """
+    import os
+    env = os.environ.get("CENTERPOLY_PALLAS_DCN", "auto").lower()
+    if not env.startswith(prefix):
+        return False, default_r
+    r = default_r
+    if ":" in env:
+        spec = env.split(":", 1)[1]
+        try:
+            r = int(spec)
+        except ValueError:
+            import warnings
+            warnings.warn(
+                f"CENTERPOLY_PALLAS_DCN={env!r}: cannot parse max offset "
+                f"{spec!r}; using default {default_r}")
+            r = default_r
+    return True, r
 
 
 def halo_dcn_mode(h: int, w: int, c: int, cout: int, dtype=None):
@@ -654,22 +685,10 @@ def halo_dcn_mode(h: int, w: int, c: int, cout: int, dtype=None):
     halo mode is requested so the XLA fallback applies the SAME offset
     clamp (identical semantics either way).
     """
-    import os
-    env = os.environ.get("CENTERPOLY_PALLAS_DCN", "auto").lower()
-    if not env.startswith("halo"):
-        return False, None
     from ..kernels.dcn_halo import DEFAULT_MAX_OFFSET, halo_supported
-    r = DEFAULT_MAX_OFFSET
-    if ":" in env:
-        spec = env.split(":", 1)[1]
-        try:
-            r = int(spec)
-        except ValueError:
-            import warnings
-            warnings.warn(
-                f"CENTERPOLY_PALLAS_DCN={env!r}: cannot parse max offset "
-                f"{spec!r}; using default {DEFAULT_MAX_OFFSET}")
-            r = DEFAULT_MAX_OFFSET
+    requested, r = _parse_bounded_mode("halo", DEFAULT_MAX_OFFSET)
+    if not requested:
+        return False, None
     kwargs = {} if dtype is None else {"dtype": dtype}
     return halo_supported(h, w, c, cout, r, **kwargs), r
 
@@ -682,23 +701,11 @@ def rowband_dcn_mode(h: int, w: int, c: int, cout: int, dtype=None):
     the same contract as halo_dcn_mode: R is returned whenever rowband
     mode is requested so the XLA fallback applies the SAME y-only clamp.
     """
-    import os
-    env = os.environ.get("CENTERPOLY_PALLAS_DCN", "auto").lower()
-    if not env.startswith("rowband"):
-        return False, None
     from ..kernels.dcn_rowband import (DEFAULT_MAX_OFFSET,
                                        rowband_supported)
-    r = DEFAULT_MAX_OFFSET
-    if ":" in env:
-        spec = env.split(":", 1)[1]
-        try:
-            r = int(spec)
-        except ValueError:
-            import warnings
-            warnings.warn(
-                f"CENTERPOLY_PALLAS_DCN={env!r}: cannot parse max offset "
-                f"{spec!r}; using default {DEFAULT_MAX_OFFSET}")
-            r = DEFAULT_MAX_OFFSET
+    requested, r = _parse_bounded_mode("rowband", DEFAULT_MAX_OFFSET)
+    if not requested:
+        return False, None
     kwargs = {} if dtype is None else {"dtype": dtype}
     return rowband_supported(h, w, c, cout, r, **kwargs), r
 

@@ -99,7 +99,10 @@ def main(argv=None):
     if demo:
         try:
             import cv2
-            image = cv2.imread(demo)[:, :, ::-1]
+            image = cv2.imread(demo)
+            if image is None:
+                raise SystemExit(f"cannot read image: {demo}")
+            image = image[:, :, ::-1]
         except ImportError:
             from PIL import Image
             image = np.asarray(Image.open(demo).convert("RGB"))

@@ -31,8 +31,9 @@ def main():
                         "into experiments/dcn_auto_table.json (consumed "
                         "by models.deform_conv.resolve_formulation)")
     p.add_argument("--train", action="store_true",
-                   help="tag table entries as train-time (also benches "
-                        "the *_tapwise variants' grad path shapes)")
+                   help="time the TRAINING step (fwd + full backward via "
+                        "jax.grad) instead of the forward, and tag table "
+                        "entries as train-time")
     args = p.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -73,7 +74,7 @@ def main():
         try:
             from centerpoly_tpu.kernels.dcn_halo import (
                 deform_conv2d_halo, halo_supported)
-            if halo_supported(h, w, cin, cout, int(R)):
+            if halo_supported(h, w, cin, cout, int(R), dtype=dt):
                 variants["pallas_halo"] = (
                     lambda *a: deform_conv2d_halo(*a, int(R)))
         except Exception:
@@ -102,9 +103,21 @@ def main():
                             / (np.max(np.abs(ref)) + 1e-9))
                 row[f"{name}_relerr"] = round(rel, 5)
 
-            def scalar(eps, x, off, mask, wgt, bias, fn=fn):
-                return jnp.sum(fn(x + eps.astype(x.dtype), off, mask, wgt,
-                                  bias).astype(jnp.float32))
+            if args.train:
+                # time what training runs: forward + the FULL backward
+                # (dx for the residual chain, doff/dmask for the offset
+                # conv, dw for the weights)
+                def scalar(eps, x, off, mask, wgt, bias, fn=fn):
+                    def loss(x, off, mask, wgt):
+                        return jnp.sum(fn(x, off, mask, wgt, bias)
+                                       .astype(jnp.float32) ** 2)
+                    gs = jax.grad(loss, argnums=(0, 1, 2, 3))(
+                        x + eps.astype(x.dtype), off, mask, wgt)
+                    return sum(jnp.sum(g.astype(jnp.float32)) for g in gs)
+            else:
+                def scalar(eps, x, off, mask, wgt, bias, fn=fn):
+                    return jnp.sum(fn(x + eps.astype(x.dtype), off, mask,
+                                      wgt, bias).astype(jnp.float32))
 
             row[f"{name}_ms"] = round(measure_device_time(
                 scalar, (x, off, mask, wgt, bias)) * 1e3, 3)

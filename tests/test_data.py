@@ -190,6 +190,22 @@ class TestLoader:
         got = [int(v) for b in solo for v in b["i"][:, 0]]
         assert got == list(range(n))
 
+    def test_val_remainder_rotates_across_epochs(self):
+        """Unshuffled multi-host loader: the N % world samples dropped
+        by the equal-length truncation must ROTATE across epochs, not
+        permanently exclude the same trailing images from every eval."""
+        n, world = 103, 4
+        sampler = lambda i: {"i": np.asarray([i])}
+        loaders = [Loader(sampler, n, batch_size=1, shuffle=False,
+                          rank=r, world=world) for r in range(world)]
+        seen = set()
+        for _epoch in range(world):
+            for ld in loaders:
+                for batch in ld:
+                    seen.add(int(batch["i"][0, 0]))
+        assert seen == set(range(n)), (
+            f"{sorted(set(range(n)) - seen)} never evaluated")
+
     def test_stack_batch(self):
         samples = [{"a": np.ones((2, 2)), "meta": {"x": 1}},
                    {"a": np.zeros((2, 2)), "meta": {"x": 2}}]
