@@ -7,13 +7,98 @@ reference's DataParallel-local BN.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 # torch BN momentum 0.1 == flax momentum 0.9 (ema keeps `momentum` fraction)
 BN_MOMENTUM = 0.9
+
+
+def stem_layout():
+    """Layout override for LOW-CHANNEL convs (the high-res stem).
+
+    NHWC puts C on the 128-wide lane dimension, so a C=16 stem conv
+    wastes 7/8 of every vector register and MXU tile
+    (experiments/probe_stem_layout.py).  CENTERPOLY_STEM_LAYOUT selects
+    a mathematically identical formulation for convs whose channel
+    counts are all <= the threshold:
+
+      nhwc (default)    plain nn.Conv
+      nchw[:max_c]      transpose so W rides the lanes, conv in
+                        NCHW/OIHW, transpose back
+      im2col[:max_c]    conv_general_dilated_patches + one matmul with
+                        K = k*k*cin on the contraction (no lane padding
+                        of the tiny cin)
+
+    max_c defaults to 32 (covers the DLA 3->16->16->32 stem).  The
+    parameter tree is IDENTICAL in every mode — checkpoints and torch
+    import are layout-oblivious.
+    """
+    env = os.environ.get("CENTERPOLY_STEM_LAYOUT", "nhwc").lower()
+    mode, _, thresh = env.partition(":")
+    if mode not in ("nchw", "im2col"):
+        return "nhwc", 0
+    try:
+        max_c = int(thresh) if thresh else 32
+    except ValueError:
+        import warnings
+        warnings.warn(f"CENTERPOLY_STEM_LAYOUT={env!r}: bad threshold "
+                      f"{thresh!r}; using 32")
+        max_c = 32
+    return mode, max_c
+
+
+class _LayoutConv(nn.Module):
+    """nn.Conv-compatible conv computed in an alternate layout.
+
+    Same parameter names/shapes/init as the nn.Conv it replaces (kernel
+    HWIO + bias), so it must be instantiated with name="Conv_0" to keep
+    the checkpoint tree identical.
+    """
+    features: int
+    kernel_size: tuple
+    strides: tuple
+    kernel_dilation: tuple
+    padding: tuple
+    use_bias: bool
+    dtype: Any
+    mode: str  # "nchw" | "im2col"
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, cin, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        kernel = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        if self.mode == "nchw":
+            y = jax.lax.conv_general_dilated(
+                jnp.transpose(x, (0, 3, 1, 2)),
+                jnp.transpose(kernel, (3, 2, 0, 1)),
+                self.strides, self.padding,
+                rhs_dilation=self.kernel_dilation,
+                dimension_numbers=("NCHW", "OIHW", "NCHW"))
+            y = jnp.transpose(y, (0, 2, 3, 1))
+        else:  # im2col
+            patches = jax.lax.conv_general_dilated_patches(
+                x, (kh, kw), self.strides, self.padding,
+                rhs_dilation=self.kernel_dilation,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            # patches feature order is (cin, kh, kw) -> match it
+            wf = jnp.transpose(kernel, (2, 0, 1, 3)).reshape(
+                cin * kh * kw, self.features)
+            y = jnp.einsum("bhwf,fo->bhwo", patches, wf)
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class ConvBN(nn.Module):
@@ -35,15 +120,26 @@ class ConvBN(nn.Module):
         # the sample grid one pixel vs the reference and breaks checkpoint
         # import parity.
         pad = self.dilation * (self.kernel // 2)
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            kernel_dilation=(self.dilation, self.dilation),
-            padding=((pad, pad), (pad, pad)),
-            use_bias=use_bias,
-            dtype=self.dtype,
-        )(x)
+        mode, max_c = stem_layout()
+        if mode != "nhwc" and max(x.shape[-1], self.features) <= max_c:
+            # low-channel conv: identical math in a lane-efficient
+            # layout; name="Conv_0" keeps the param tree byte-identical
+            x = _LayoutConv(
+                self.features, (self.kernel, self.kernel),
+                (self.stride, self.stride),
+                (self.dilation, self.dilation),
+                ((pad, pad), (pad, pad)),
+                use_bias, self.dtype, mode, name="Conv_0")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                (self.kernel, self.kernel),
+                strides=(self.stride, self.stride),
+                kernel_dilation=(self.dilation, self.dilation),
+                padding=((pad, pad), (pad, pad)),
+                use_bias=use_bias,
+                dtype=self.dtype,
+            )(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,

@@ -43,9 +43,18 @@ CENTERPOLY_DCN_FORMULATION=tapwise timeout 3000 python experiments/bench_train_i
 echo "=== 7. batched throughput ==="
 timeout 1800 python experiments/bench_batch.py
 
+echo "=== 5b. train-time auto table (fwd+bwd timing via --train) ==="
+timeout 2400 python experiments/bench_dcn_variants.py --batch 8 --dtype bfloat16 --write_table --train
+
 echo "=== 8. stem layout + gather-rate probes (512B rows decide the quad byte-ceiling question) ==="
 timeout 1200 python experiments/probe_stem_layout.py
 timeout 1200 python experiments/probe_gather_rates.py
+
+echo "=== 8a. full-model stem-layout A/B (dlav0 isolates the non-DCN share) ==="
+for layout in nchw im2col; do
+  echo "--- CENTERPOLY_STEM_LAYOUT=$layout"
+  CENTERPOLY_STEM_LAYOUT=$layout timeout 1800 python experiments/profile_inference.py
+done
 
 echo "=== 8b. Mosaic compile-surface re-bisect (toolchain may have moved) ==="
 timeout 1200 python experiments/probe_mosaic_gather.py

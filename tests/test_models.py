@@ -137,3 +137,65 @@ def test_train_mode_updates_batch_stats():
     outs, mutated = model.apply(variables, x, train=True,
                                 mutable=["batch_stats"])
     assert "batch_stats" in mutated
+
+
+class TestStemLayout:
+    """CENTERPOLY_STEM_LAYOUT: alternate low-channel conv layouts must
+    be mathematically identical AND leave the parameter tree unchanged
+    (checkpoints/torch-import are layout-oblivious)."""
+
+    def _convbn(self, layout, monkeypatch, **kw):
+        from centerpoly_tpu.models.layers import ConvBN
+        if layout is None:
+            monkeypatch.delenv("CENTERPOLY_STEM_LAYOUT", raising=False)
+        else:
+            monkeypatch.setenv("CENTERPOLY_STEM_LAYOUT", layout)
+        m = ConvBN(**kw)
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 24, 3),
+                        jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        return v, m.apply(v, x)
+
+    @pytest.mark.parametrize("layout", ["nchw", "im2col"])
+    def test_layouts_match_nhwc(self, layout, monkeypatch):
+        v0, o0 = self._convbn(None, monkeypatch, features=16, kernel=7,
+                              stride=2)
+        v1, o1 = self._convbn(layout, monkeypatch, features=16, kernel=7,
+                              stride=2)
+        assert (jax.tree_util.tree_structure(v0)
+                == jax.tree_util.tree_structure(v1))
+        for a, b in zip(jax.tree_util.tree_leaves(v0),
+                        jax.tree_util.tree_leaves(v1)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                                   atol=2e-5)
+
+    def test_dilated_biased(self, monkeypatch):
+        v0, o0 = self._convbn(None, monkeypatch, features=8, kernel=3,
+                              dilation=2, use_bn=False)
+        _, o1 = self._convbn("im2col", monkeypatch, features=8, kernel=3,
+                             dilation=2, use_bn=False)
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                                   atol=2e-5)
+
+    def test_threshold_gates_wide_convs(self, monkeypatch):
+        # features=64 > max_c=16 -> plain nn.Conv either way
+        v0, o0 = self._convbn(None, monkeypatch, features=64)
+        v1, o1 = self._convbn("nchw:16", monkeypatch, features=64)
+        np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                                   atol=2e-5)
+
+    def test_full_dla_stem_equivalence(self, monkeypatch):
+        """Whole dlav0 forward is identical under the layout override."""
+        x = jnp.asarray(np.random.RandomState(1).randn(1, 64, 128, 3),
+                        jnp.float32)
+        monkeypatch.delenv("CENTERPOLY_STEM_LAYOUT", raising=False)
+        model = create_model("dlav0_34", polydet_heads(8, 16), 64)
+        v = model.init(jax.random.PRNGKey(0), x)
+        outs0 = model.apply(v, x, train=False)
+        monkeypatch.setenv("CENTERPOLY_STEM_LAYOUT", "im2col")
+        outs1 = model.apply(v, x, train=False)
+        for kk in outs0[-1]:
+            np.testing.assert_allclose(np.asarray(outs0[-1][kk]),
+                                       np.asarray(outs1[-1][kk]),
+                                       atol=5e-4)
