@@ -40,6 +40,9 @@ CENTERPOLY_DCN_FORMULATION=quad_tapwise timeout 3000 python experiments/bench_tr
 echo "--- baseline tapwise for comparison"
 CENTERPOLY_DCN_FORMULATION=tapwise timeout 3000 python experiments/bench_train_iou.py --arch dla_34 --batch 8 --dtype bfloat16 --steps 5
 
+echo "=== 6b. training step under the best stem layout (A/B vs 6) ==="
+CENTERPOLY_DCN_FORMULATION=quad_tapwise CENTERPOLY_STEM_LAYOUT=nchw timeout 3000 python experiments/bench_train_iou.py --arch dla_34 --batch 8 --dtype bfloat16 --steps 5
+
 echo "=== 7. batched throughput ==="
 timeout 1800 python experiments/bench_batch.py
 
