@@ -13,8 +13,10 @@ def get_alpha(rot: np.ndarray) -> np.ndarray:
     """Multi-bin rotation head -> observation angle alpha
     (ref post_process.py:15-22). rot: (N, 8)."""
     idx = rot[:, 1] > rot[:, 5]
-    alpha1 = np.arctan(rot[:, 2] / rot[:, 3]) + (-0.5 * np.pi)
-    alpha2 = np.arctan(rot[:, 6] / rot[:, 7]) + (0.5 * np.pi)
+    # arctan2, not arctan(sin/cos): the ratio loses the quadrant (alpha
+    # off by pi when cos < 0) and divides by zero at cos == 0
+    alpha1 = np.arctan2(rot[:, 2], rot[:, 3]) + (-0.5 * np.pi)
+    alpha2 = np.arctan2(rot[:, 6], rot[:, 7]) + (0.5 * np.pi)
     return alpha1 * idx + alpha2 * (1 - idx)
 
 

@@ -174,10 +174,11 @@ def render_heatmap(centers, radii, class_ids, mask, num_classes: int,
       num_classes: C.
       out_hw: static (H, W).
 
-    Returns (C, H, W) heatmap = per-class max over objects. Fixed-shape; the
-    per-object patch windows of the host version become a full-map masked
-    gaussian (values outside the integer radius box are zeroed to match the
-    patch cut-off of the reference splat).
+    Returns (H, W, C) heatmap = per-class max over objects — channel-LAST
+    like every other map in the package (batch['hm'], head outputs).
+    Fixed-shape; the per-object patch windows of the host version become
+    a full-map masked gaussian (values outside the integer radius box are
+    zeroed to match the patch cut-off of the reference splat).
     """
     h, w = out_hw
     centers = jnp.asarray(centers, dtype=jnp.float32)
@@ -203,6 +204,6 @@ def render_heatmap(centers, radii, class_ids, mask, num_classes: int,
     g = jnp.where(inside & mask[:, None, None].astype(bool), g, 0.0)  # (K,H,W)
     onehot = (jnp.arange(num_classes)[:, None] ==
               jnp.asarray(class_ids)[None, :]).astype(jnp.float32)  # (C, K)
-    # per-class max over objects of that class
+    # per-class max over objects of that class, channel-last
     g_cls = onehot[:, :, None, None] * g[None, :, :, :]
-    return jnp.max(g_cls, axis=1)
+    return jnp.transpose(jnp.max(g_cls, axis=1), (1, 2, 0))

@@ -116,7 +116,7 @@ class BaseDetector:
         # NOTE: variables are passed as jit *arguments*, never closed over:
         # XLA:TPU rewrites dot/einsum ops with large constant operands into
         # a pathological convolution form (~200x slower DCN contraction).
-        self._pre_jit = jax.jit(self._pre_device)
+        self._pre_jit = jax.jit(self._pre_device, static_argnums=(4,))
         self._proc_jit = jax.jit(self._process_device)
 
     def _load_variables(self, path: str):
@@ -139,15 +139,29 @@ class BaseDetector:
 
     # -- device programs -------------------------------------------------
 
-    def _pre_device(self, image_u8, trans, mean, std):
-        """uint8 HWC source image -> normalized (1, in_h, in_w, 3)."""
+    # tasks whose _process_device merges the [originals; flipped] halves
+    # set this True; ddd/exdet don't (the reference either never doubles
+    # the batch for them — ddd overrides pre_process without the flip
+    # concat — or doubles it and discards the flip half: exdet's post
+    # reads only the unflipped rows), so doubling would only burn 2x
+    # device time for bit-identical results
+    flip_tta: bool = True
+
+    def _pre_device(self, image_u8, trans, mean, std, size):
+        """uint8 HWC source image -> normalized (1, in_h, in_w, 3).
+
+        `size` is the STATIC (inp_h, inp_w) warp canvas: cfg.input_* when
+        fix_res, the per-image |pad+1 padded size in keep-res mode
+        (one retrace per distinct padded size — the reference
+        re-allocates per image the same way, base_detector.py:41-88).
+        """
         cfg = self.cfg
         img = image_u8.astype(jnp.float32)
         # inference transforms are rot=0 -> axis-aligned matmul warp
-        warped = warp_axis_aligned(img, trans, (cfg.input_h, cfg.input_w))
+        warped = warp_axis_aligned(img, trans, size)
         out = (warped / 255.0 - mean) / std
         imgs = out[None]
-        if cfg.flip_test:
+        if cfg.flip_test and self.flip_tta:
             imgs = jnp.concatenate([imgs, imgs[:, :, ::-1, :]], axis=0)
         return imgs
 
@@ -175,6 +189,7 @@ class BaseDetector:
             s = np.array([inp_w, inp_h], dtype=np.float32)
         trans = get_affine_transform(c, s, 0, (inp_w, inp_h))
         meta = {"c": c, "s": s,
+                "inp_h": inp_h, "inp_w": inp_w,
                 "out_height": inp_h // cfg.down_ratio,
                 "out_width": inp_w // cfg.down_ratio}
         return trans, meta
@@ -220,7 +235,8 @@ class BaseDetector:
                     pass
             img_dev = jnp.asarray(send)
             images = self._pre_jit(img_dev, jnp.asarray(trans),
-                                   self.mean, self.std)
+                                   self.mean, self.std,
+                                   (meta["inp_h"], meta["inp_w"]))
             timer.stage("pre", fence=images)
 
             out, dets = self._proc_jit(self.variables, images)
@@ -259,15 +275,19 @@ class BaseDetector:
                 imgs = np.concatenate(
                     [imgs, np.repeat(imgs[-1:], pad, axis=0)])
 
-        if getattr(self, "_batch_jit", None) is None:
+        if getattr(self, "_batch_jits", None) is None:
+            self._batch_jits = {}
+
+        def _batch_jit_for(size):
+            if size in self._batch_jits:
+                return self._batch_jits[size]
             cfg = self.cfg
 
             def prog(variables, frames, trans, mean, std):
                 warped = jax.vmap(lambda f: warp_axis_aligned(
-                    f.astype(jnp.float32), trans,
-                    (cfg.input_h, cfg.input_w)))(frames)
+                    f.astype(jnp.float32), trans, size))(frames)
                 x = (warped / 255.0 - mean) / std
-                if cfg.flip_test:
+                if cfg.flip_test and self.flip_tta:
                     x = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0)
                 _, dets = self._process_device(variables, x)
                 return dets
@@ -281,12 +301,14 @@ class BaseDetector:
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 shard = NamedSharding(self.mesh, P("data"))
                 repl = NamedSharding(self.mesh, P())
-                self._batch_jit = jax.jit(
+                fn = jax.jit(
                     prog,
                     in_shardings=(repl, shard, repl, repl, repl),
                     out_shardings=shard)
             else:
-                self._batch_jit = jax.jit(prog)
+                fn = jax.jit(prog)
+            self._batch_jits[size] = fn
+            return fn
 
         frames_dev = jnp.asarray(imgs)
         per_scale = []
@@ -296,9 +318,10 @@ class BaseDetector:
                 # scaled-coords -> original-coords warp (see run())
                 trans = trans.copy()
                 trans[:, :2] *= scale
-            dets = self._batch_jit(self.variables, frames_dev,
-                                   jnp.asarray(trans, dtype=jnp.float32),
-                                   self.mean, self.std)
+            batch_jit = _batch_jit_for((meta["inp_h"], meta["inp_w"]))
+            dets = batch_jit(self.variables, frames_dev,
+                             jnp.asarray(trans, dtype=jnp.float32),
+                             self.mean, self.std)
             dets_host = np.asarray(dets)
             per_scale.append([self._post(dets_host[i:i + 1], meta, scale)
                               for i in range(len(images))])

@@ -67,7 +67,12 @@ def ddd_post_process_3d(dets, calibs) -> List[Dict[int, np.ndarray]]:
                 alpha = dets[i][cls_ind][j][3]
                 depth = dets[i][cls_ind][j][4]
                 dimensions = dets[i][cls_ind][j][5:8]
-                wh = dets[i][cls_ind][j][8:10]
+                # reg_bbox=False rows have no wh columns (the reference
+                # IndexErrors here, post_process.py:66); degrade to a
+                # point bbox at the center instead of crashing
+                row = dets[i][cls_ind][j]
+                wh = row[8:10] if row.shape[0] >= 10 else \
+                    np.zeros(2, np.float32)
                 locations, rotation_y = ddd2locrot(
                     center, alpha, dimensions, depth, calibs[0])
                 bbox = [center[0] - wh[0] / 2, center[1] - wh[1] / 2,
@@ -80,7 +85,14 @@ def ddd_post_process_3d(dets, calibs) -> List[Dict[int, np.ndarray]]:
 
 
 class DddDetector(BaseDetector):
-    """3D box detector (ref detectors/ddd.py)."""
+    """3D box detector (ref detectors/ddd.py).
+
+    flip_tta=False: the reference's ddd pre_process never applies the
+    flip concat (detectors/ddd.py:31-56), so flip_test is a no-op for
+    this task; doubling the batch would waste 2x device time for
+    identical results."""
+
+    flip_tta = False
 
     def __init__(self, cfg, variables=None, calib: np.ndarray | None = None,
                  **kw):
@@ -97,6 +109,7 @@ class DddDetector(BaseDetector):
         s = np.array([width, height], dtype=np.float32)
         trans = get_affine_transform(c, s, 0, (inp_w, inp_h))
         meta = {"c": c, "s": s,
+                "inp_h": inp_h, "inp_w": inp_w,
                 "out_height": inp_h // cfg.down_ratio,
                 "out_width": inp_w // cfg.down_ratio}
         return trans, meta
@@ -213,7 +226,13 @@ class MultiPoseDetector(BaseDetector):
 
 
 class ExdetDetector(BaseDetector):
-    """ExtremeNet detector (ref detectors/exdet.py)."""
+    """ExtremeNet detector (ref detectors/exdet.py).
+
+    flip_tta=False: the reference doubles the batch under flip_test but
+    its post-process reads only the unflipped rows, so skipping the
+    flip half halves device time with bit-identical results."""
+
+    flip_tta = False
 
     def _process_device(self, variables, images):
         cfg = self.cfg
@@ -248,3 +267,26 @@ class ExdetDetector(BaseDetector):
             top[j + 1][:, :4] /= scale
             top[j + 1][:, 5:] /= scale
         return top
+
+    def merge_outputs(self, detections):
+        """(ref detectors/exdet.py:97-122): drop penalized lattice
+        combos (score <= 0 — exct_decode subtracts 1 per violated
+        t/l/b/r constraint), ALWAYS soft-NMS, truncate to 5-col bboxes
+        like the reference, then the global top-K score cut."""
+        from ..ops.nms import soft_nms
+
+        results = {}
+        for j in range(1, self.num_classes + 1):
+            rows = np.concatenate(
+                [d[j] for d in detections], axis=0).astype(np.float32)
+            rows = rows[rows[:, 4] > 0]
+            soft_nms(rows, nt=0.5, method=2)
+            results[j] = rows[:, :5]
+        scores = np.hstack(
+            [results[j][:, 4] for j in range(1, self.num_classes + 1)])
+        if len(scores) > self.max_per_image:
+            kth = len(scores) - self.max_per_image
+            thresh = np.partition(scores, kth)[kth]
+            for j in range(1, self.num_classes + 1):
+                results[j] = results[j][results[j][:, 4] >= thresh]
+        return results

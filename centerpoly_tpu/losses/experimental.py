@@ -76,6 +76,12 @@ def disk_loss(pred: np.ndarray, mask: np.ndarray, target: np.ndarray,
     pred/target: (B, K, 2N+1) gathered rows — the extra last channel is
     the disk radius.  Returns (loss, repulsion) like the reference; the
     repulsion term is kept at 0 (disabled in the reference too).
+
+    REFERENCE-EXACT QUIRK (kept deliberately): the vertex loop bound
+    `shape[2] - 3` mirrors the reference's `shape[1] - 3`
+    (losses.py:1013), which stops one vertex early — the disk at the
+    LAST vertex is never rasterized.  Kept because this is a parity
+    reproduction of a diagnostic loss, not a training term.
     """
     from PIL import Image, ImageDraw
 
@@ -110,7 +116,15 @@ def area_poly_loss(pred: np.ndarray, mask: np.ndarray,
     """Rasterized-polygons-vs-GT-mask MSE (ref :1068-1090).
 
     pred: (B, K, 2N) gathered vertex rows; centers: (B, K, 2);
-    target_mask: (B, H, W) GT float masks."""
+    target_mask: (B, H, W) GT float masks.
+
+    REFERENCE-EXACT QUIRKS (kept deliberately, losses.py:1075-1089):
+    ALL K slots' vertices — including padded/invalid objects — are
+    concatenated into ONE polygon outline and filled with a single
+    PIL polygon() call, and `mask` enters only the denominator.  A
+    per-object masked union fill would be the "intended" semantics,
+    but this is a parity reproduction of a diagnostic loss the
+    reference never enables in the total."""
     b, _, _ = pred.shape
     h, w = target_mask.shape[1:3]
     loss = 0.0

@@ -129,7 +129,22 @@ def poly_loss(
 
     loss = 0.0
     if kind in ("iou", "l1+iou", "relu"):
-        loss = poly_iou_loss(pred, target, mask)
+        # The reference adds its IoU branch for all three kinds and for
+        # EVERY rep — but it computes IoU on the raw channel pairs
+        # sorted by column 1 (losses.py:877-887), i.e. it treats
+        # cartesian (x, y) as (r, theta).  This repo's poly_iou_loss is
+        # the conscious fix (true-coordinate IoU via polar->cartesian),
+        # which is only meaningful for polar reps; with rep='cartesian'
+        # the IoU term is dropped for 'relu' (the deadzone L1 remains,
+        # the reference's relu+cartesian main term) and is an error for
+        # the explicitly-IoU kinds.
+        if rep == "cartesian":
+            if kind != "relu":
+                raise ValueError(
+                    "poly_loss kind 'iou'/'l1+iou' requires a polar "
+                    "rep: poly_iou_loss sorts (r, theta) pairs by theta")
+        else:
+            loss = poly_iou_loss(pred, target, mask)
     if kind in ("l1", "l1+iou"):
         loss = loss + poly_l1_loss(pred, target, mask, rep)
     elif kind == "relu":

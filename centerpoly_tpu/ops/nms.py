@@ -35,7 +35,6 @@ def soft_nms(dets: np.ndarray, nt: float = 0.5, sigma: float = 0.5,
     contract).
     """
     n = dets.shape[0]
-    order = list(range(n))
     keep = []
     boxes = dets[:, :4]
     scores = dets[:, 4]
@@ -61,7 +60,6 @@ def soft_nms(dets: np.ndarray, nt: float = 0.5, sigma: float = 0.5,
             decay = np.where(ious > nt, 0.0, 1.0)
         scores[rest] *= decay
         alive[rest] &= scores[rest] >= thresh
-    del order
     return np.array(keep, dtype=np.int64)
 
 

@@ -65,9 +65,10 @@ def collect(cfg, variables=None, image=None):
     if image is None:
         image = (np.random.RandomState(0).rand(
             cfg.input_h, cfg.input_w, 3) * 255).astype(np.uint8)
-    trans, _ = det.pre_process_meta(image.shape[0], image.shape[1], 1.0)
+    trans, meta = det.pre_process_meta(image.shape[0], image.shape[1], 1.0)
     img = det._pre_jit(jnp.asarray(image), jnp.asarray(trans),
-                       det.mean, det.std)
+                       det.mean, det.std,
+                       (meta["inp_h"], meta["inp_w"]))
 
     def run(variables, img):
         return det.model.apply(variables, img, train=False,

@@ -261,3 +261,44 @@ class TestPolygonIoU:
         b = square(1, 0, 1.0)
         # inter 2, union 4+4-2=6
         assert float(polygon_iou(a, b)) == pytest.approx(2.0 / 6.0, rel=1e-4)
+
+
+class TestGetAlpha:
+    def test_quadrants_and_cos_zero(self):
+        """Multi-bin rot head -> alpha must use arctan2 (full quadrant),
+        not arctan(sin/cos): cos < 0 flips by pi, cos == 0 divides by
+        zero (regression: round-3 review finding)."""
+        from centerpoly_tpu.geometry.ddd import get_alpha
+        angles = np.array([0.3, 2.5, -2.5, np.pi / 2], np.float32)
+        rot = np.zeros((4, 8), np.float32)
+        rot[:, 1] = 1.0  # bin 1 active
+        rot[:, 2] = np.sin(angles)
+        rot[:, 3] = np.cos(angles)
+        alpha = get_alpha(rot)
+        assert np.all(np.isfinite(alpha))
+        np.testing.assert_allclose(alpha, angles - 0.5 * np.pi, atol=1e-5)
+
+
+class TestRenderHeatmap:
+    def test_channel_last_matches_host_splat(self):
+        """On-device render is channel-LAST (H, W, C) and matches the
+        host elliptical splat."""
+        import jax.numpy as jnp
+        from centerpoly_tpu.geometry import render_heatmap
+        from centerpoly_tpu.geometry.gaussian import splat_ellipse_gaussian
+
+        h, w, c = 24, 32, 3
+        centers = np.array([[10.0, 8.0], [25.0, 15.0]], np.float32)
+        radii = np.array([[3.0, 2.0], [4.0, 4.0]], np.float32)
+        cls = np.array([0, 2], np.int32)
+        mask = np.array([1, 1], np.float32)
+        out = np.asarray(render_heatmap(centers, radii, cls, mask, c,
+                                        (h, w)))
+        assert out.shape == (h, w, c)
+        ref = np.zeros((h, w, c), np.float32)
+        for i in range(2):
+            plane = np.ascontiguousarray(ref[..., cls[i]])
+            splat_ellipse_gaussian(plane, centers[i],
+                                   int(radii[i][0]), int(radii[i][1]))
+            ref[..., cls[i]] = plane
+        np.testing.assert_allclose(out, ref, atol=1e-5)

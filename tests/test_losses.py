@@ -133,6 +133,52 @@ class TestPolyL1:
         assert ours == pytest.approx(ref, rel=1e-5)
 
 
+class TestPolyLossDispatch:
+    """poly_loss kind/rep routing (losses/poly.py poly_loss)."""
+
+    def _args(self):
+        rng = np.random.RandomState(0)
+        b, k, h, w, n2 = 1, 4, 8, 8, 8
+        out = jnp.asarray(rng.randn(b, h, w, n2), jnp.float32)
+        mask = jnp.ones((b, k), jnp.float32)
+        ind = jnp.asarray(rng.randint(0, h * w, (b, k)), jnp.int32)
+        tgt = jnp.asarray(rng.randn(b, k, n2) * 5, jnp.float32)
+        return out, mask, ind, tgt
+
+    def test_relu_cartesian_is_pure_deadzone(self):
+        """relu + cartesian must NOT add the IoU term: poly_iou_loss
+        interprets pairs as (r, theta); only the deadzone L1 applies
+        (the reference's relu+cartesian main term, losses.py:913-918)."""
+        out, mask, ind, tgt = self._args()
+        got = float(poly_loss(out, mask, ind, tgt, rep="cartesian",
+                              kind="relu"))
+        from centerpoly_tpu.losses.poly import poly_l1_loss
+        from centerpoly_tpu.ops.gather import gather_feat_nhwc
+        pred = gather_feat_nhwc(out, ind)
+        want = float(poly_l1_loss(pred, tgt, mask, "cartesian",
+                                  deadzone=20.0))
+        assert got == pytest.approx(want, rel=1e-6)
+
+    def test_relu_polar_includes_iou(self):
+        """relu + polar = IoU + plain polar L1 (ref losses.py:871-908:
+        the IoU branch runs for relu; the deadzone applies only to
+        cartesian)."""
+        out, mask, ind, tgt = self._args()
+        got = float(poly_loss(out, mask, ind, tgt, rep="polar",
+                              kind="relu"))
+        from centerpoly_tpu.losses.poly import poly_iou_loss, poly_l1_loss
+        from centerpoly_tpu.ops.gather import gather_feat_nhwc
+        pred = gather_feat_nhwc(out, ind)
+        want = float(poly_iou_loss(pred, tgt, mask)
+                     + poly_l1_loss(pred, tgt, mask, "polar"))
+        assert got == pytest.approx(want, rel=1e-6)
+
+    def test_iou_cartesian_rejected(self):
+        out, mask, ind, tgt = self._args()
+        with pytest.raises(ValueError, match="polar"):
+            poly_loss(out, mask, ind, tgt, rep="cartesian", kind="iou")
+
+
 class TestOrderLoss:
     def test_unwrap(self):
         # negative before any positive stays; negative after positive +2*3.14

@@ -114,6 +114,24 @@ class TestDdd:
             if len(rows):
                 assert rows.shape[1] == 13
 
+    def test_detector_no_reg_bbox(self):
+        """reg_bbox=False rows carry no wh; _post degrades to point
+        bboxes instead of the reference's IndexError
+        (post_process.py:66)."""
+        from centerpoly_tpu.infer.task_detectors import DddDetector
+        cfg = Config(task="ddd", dataset="kitti", arch="res_18",
+                     input_h=64, input_w=128, K=8, reg_bbox=False)
+        det = DddDetector(cfg)
+        img = (np.random.RandomState(0).rand(96, 320, 3) * 255).astype(
+            np.uint8)
+        ret = det.run(img)
+        for j, rows in ret["results"].items():
+            if len(rows):
+                assert rows.shape[1] == 13
+                # degenerate point bbox: x0 == x1, y0 == y1
+                np.testing.assert_array_equal(rows[:, 1], rows[:, 3])
+                np.testing.assert_array_equal(rows[:, 2], rows[:, 4])
+
 
 class TestExdet:
     def test_sampler_and_loss(self, tmp_path):
@@ -148,8 +166,36 @@ class TestExdet:
             np.uint8)
         ret = det.run(img)
         for j, rows in ret["results"].items():
+            # merge_outputs truncates to 5-col bboxes like the reference
+            # (exdet.py:110) and drops penalized lattice combos
             if len(rows):
-                assert rows.shape[1] == 13  # bbox4+score+8 extreme coords
+                assert rows.shape[1] == 5
+                assert (rows[:, 4] > 0).all(), \
+                    "penalized (score<=0) combos must be filtered"
+
+    def test_merge_outputs_filters_and_nms(self):
+        """score<=0 rows (constraint-penalized combos) are dropped and
+        near-duplicates are soft-NMS-decayed even single-scale/no-nms
+        (ref exdet.py:97-122; base merge skips NMS in that config)."""
+        from centerpoly_tpu.infer.task_detectors import ExdetDetector
+        cfg = Config(task="exdet", dataset="kitti", arch="res_18",
+                     input_h=64, input_w=64, K=16)
+        det = ExdetDetector.__new__(ExdetDetector)
+        det.cfg = cfg
+        det.num_classes = cfg.num_classes
+        det.max_per_image = cfg.K
+        det.scales = [1.0]
+        rows = np.zeros((4, 13), np.float32)
+        rows[:, :4] = [10, 10, 50, 50]
+        rows[:, 4] = [0.9, 0.88, -2.0, 0.0]  # dup + 2 penalized
+        dets = {j: (rows.copy() if j == 1
+                    else np.zeros((0, 13), np.float32))
+                for j in range(1, cfg.num_classes + 1)}
+        out = det.merge_outputs([dets])
+        assert out[1].shape[1] == 5
+        assert len(out[1]) == 2 and (out[1][:, 4] > 0).all()
+        # identical boxes: gaussian soft-NMS must decay the 2nd score
+        assert out[1][1, 4] < 0.88
 
 
 class TestMultiPose:

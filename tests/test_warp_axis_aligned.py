@@ -50,3 +50,44 @@ def test_scale_folded_warp_matches_resize_then_warp():
     tf[:, :2] *= scale
     got = np.asarray(warp_axis_aligned(jnp.asarray(img), tf, (32, 48)))
     assert np.abs(got - ref).max() < 0.02
+
+
+class TestKeepRes:
+    """fix_res=False: the device warp canvas must follow the per-image
+    padded (inp_h, inp_w), not cfg.input_* (regression: the warp used
+    to always render the fixed canvas, cropping keep-res inputs and
+    desyncing meta['out_*'] from the actual feature grid)."""
+
+    def _det(self):
+        from centerpoly_tpu.configs import Config
+        from centerpoly_tpu.infer.detector import PolydetDetector
+        cfg = Config.from_args(
+            ["polydet", "--dataset", "cityscapes", "--arch", "res_18",
+             "--input_h", "128", "--input_w", "256", "--no_fix_res"])
+        assert not cfg.fix_res
+        return PolydetDetector(cfg)
+
+    def test_canvas_follows_padded_size(self):
+        det = self._det()
+        h, w = 100, 200          # -> inp (128, 224) with pad=31
+        trans, meta = det.pre_process_meta(h, w, 1.0)
+        assert (meta["inp_h"], meta["inp_w"]) == (128, 224)
+        img = np.zeros((h, w, 3), np.uint8)
+        img[h // 2 - 1:h // 2 + 2, w // 2 - 1:w // 2 + 2] = 255
+        images = det._pre_jit(jnp.asarray(img), jnp.asarray(trans),
+                              det.mean, det.std,
+                              (meta["inp_h"], meta["inp_w"]))
+        assert images.shape[1:3] == (128, 224)
+        # keep-res centers the frame 1:1 on the padded canvas: the blob
+        # must land at the canvas center (undo normalization first)
+        blob = np.asarray(images[0]) * np.asarray(det.cfg.std) \
+            + np.asarray(det.cfg.mean)
+        yy, xx = np.unravel_index(np.argmax(blob[..., 0]), blob.shape[:2])
+        assert abs(yy - 64) <= 2 and abs(xx - 112) <= 2
+
+    def test_run_end_to_end(self):
+        det = self._det()
+        img = (np.random.RandomState(0).rand(100, 200, 3) * 255).astype(
+            np.uint8)
+        ret = det.run(img)
+        assert "results" in ret
