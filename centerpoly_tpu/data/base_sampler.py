@@ -14,11 +14,56 @@ import numpy as np
 
 from ..geometry.affine import get_affine_transform
 from .coco_poly import CocoPolyAnnotations
-from .sampler import color_aug, _get_border
+
+# Cityscapes PCA color-aug eigen decomposition
+# (ref dataset/cityscapes.py:101-107)
+EIG_VAL = np.array([0.2141788, 0.01817699, 0.00341571], dtype=np.float32)
+EIG_VEC = np.array([
+    [-0.58752847, -0.69563484, 0.41340352],
+    [-0.5832747, 0.00994535, -0.81221408],
+    [-0.56089297, 0.71832671, 0.41158938],
+], dtype=np.float32)
+
+
+def color_aug(rng: np.random.RandomState, img: np.ndarray) -> np.ndarray:
+    """CornerNet-style brightness/contrast/saturation + PCA lighting
+    (ref utils/image.py:234-263). img float32 [0,1] HWC, modified copy."""
+    img = img.copy()
+    gs = img.mean(axis=2)
+    gs_mean = gs.mean()
+
+    def brightness(a):
+        img[:] *= a
+
+    def contrast(a):
+        img[:] = img * a + gs_mean * (1 - a)
+
+    def saturation(a):
+        img[:] = img * a + gs[:, :, None] * (1 - a)
+
+    fns = [brightness, contrast, saturation]
+    order = rng.permutation(3)
+    for i in order:
+        alpha = 1.0 + rng.uniform(-0.4, 0.4)
+        fns[i](alpha)
+    alpha = rng.normal(scale=0.1, size=(3,))
+    img += EIG_VEC @ (EIG_VAL * alpha)
+    return img
+
+
+def _get_border(border: int, size: int) -> int:
+    i = 1
+    while size - border // i <= border // i:
+        i *= 2
+    return border // i
 
 
 class BaseSampler:
     """Callable GT encoder bound to a dataset + config."""
+
+    # default image dims for the fixture fallback when the annotation
+    # omits height/width (polydet overrides with the cityscapes frame)
+    fallback_hw = (512, 512)
 
     def __init__(self, cfg, meta, annotations: CocoPolyAnnotations,
                  split: str = "train", img_dir: Optional[str] = None,
@@ -36,6 +81,10 @@ class BaseSampler:
 
     def _load_image(self, img_id: int) -> np.ndarray:
         info = self.coco.load_img(img_id)
+        # CSV-generated GT carries absolute file_name paths
+        # (tools/csv_coco, ref convert_csv_to_coco.py) — os.path.join
+        # with an absolute second arg resolves to it regardless of
+        # img_dir, matching the reference.
         path = os.path.join(self.img_dir or "", info["file_name"])
         if os.path.isfile(path):
             import cv2
@@ -43,7 +92,8 @@ class BaseSampler:
             if img is not None:
                 return img
         # fixture-friendly fallback: deterministic noise of the right size
-        h, w = info.get("height", 512), info.get("width", 512)
+        h = info.get("height", self.fallback_hw[0])
+        w = info.get("width", self.fallback_hw[1])
         r = np.random.RandomState(img_id % (2 ** 31))
         return (r.rand(h, w, 3) * 255).astype(np.uint8)
 

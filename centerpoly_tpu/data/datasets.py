@@ -44,15 +44,39 @@ class DatasetMeta:
         d = os.path.join(self.data_root, "gtFine", split)
         return d if os.path.isdir(d) else None
 
-    def run_eval(self, results, save_dir: str):
-        """Write instance masks + run the official-protocol AP evaluator."""
+    def run_eval(self, results, save_dir: str, annotations=None):
+        """Write instance masks + run the official-protocol AP evaluator.
+
+        `annotations` (CocoPolyAnnotations) provides the image-id ->
+        file_name map; without it the harness falls back to '<id>.png'
+        names, which can never match the gtFine *_instanceIds.png glob —
+        so when not supplied, load the val annotations ourselves."""
         from ..eval.harness import run_instance_eval
+        if annotations is None:
+            try:
+                path = self.annot_path("val")
+            except NotImplementedError:
+                path = None
+            if path and os.path.isfile(path):
+                from .coco_poly import CocoPolyAnnotations
+                annotations = CocoPolyAnnotations(path)
         return run_instance_eval(self, results, save_dir,
+                                 annotations=annotations,
                                  gt_instance_dir=self.gt_instance_dir())
 
 
 class CityscapesMeta(DatasetMeta):
-    """Reference: dataset/cityscapes.py:39-118."""
+    """Reference: dataset/cityscapes.py:39-118.
+
+    num_classes=8 is the reference's SHIPPED default (FG=False,
+    cityscapes.py:26,41-43: num_classes is 8 in both branches and
+    _valid_ids is [1..8]).  The FG=True variant adds pole/traffic
+    sign/traffic light as categories 9-11 in the *_fg3.json GTs, but
+    keeps num_classes=8, so its sampler writes hm[8..10] out of bounds
+    — it cannot actually train in the reference.  The pole/sign/light
+    entries in class_name / label_to_id / class_frequencies /
+    eval_drop_classes below exist for that FG eval contract (write-time
+    drop, cityscapes.py:273-274) and for the fg/border_hm aux heads."""
     name = "cityscapes"
     num_classes = 8
     default_resolution = (512, 1024)

@@ -119,12 +119,17 @@ class Loader:
         stop = object()
 
         def producer():
+            # a sampler exception must reach the consumer, not die on
+            # the thread excepthook — otherwise the epoch silently
+            # truncates and training continues on partial data (torch's
+            # DataLoader likewise propagates worker exceptions)
             try:
                 for batch_idx in self._index_batches():
                     samples = [self.sampler(int(i)) for i in batch_idx]
                     q.put(stack_batch(samples))
-            finally:
                 q.put(stop)
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -132,6 +137,8 @@ class Loader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def _iter_processes(self) -> Iterator[Dict[str, np.ndarray]]:

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import math
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
@@ -24,15 +24,9 @@ from ..geometry.affine import get_affine_transform, affine_transform_points
 from ..geometry.gaussian import (
     gaussian_radius, splat_gaussian, splat_ellipse_gaussian,
     draw_dense_reg)
-from .coco_poly import CocoPolyAnnotations
-
-# Cityscapes PCA color-aug eigen decomposition (ref dataset/cityscapes.py:101-107)
-EIG_VAL = np.array([0.2141788, 0.01817699, 0.00341571], dtype=np.float32)
-EIG_VEC = np.array([
-    [-0.58752847, -0.69563484, 0.41340352],
-    [-0.5832747, 0.00994535, -0.81221408],
-    [-0.56089297, 0.71832671, 0.41158938],
-], dtype=np.float32)
+# EIG_*/color_aug/_get_border re-exported for backward compatibility
+from .base_sampler import (BaseSampler, EIG_VAL, EIG_VEC,  # noqa: F401
+                           _get_border, color_aug)
 
 
 def flip_vertex_permutation(n2: int) -> np.ndarray:
@@ -49,71 +43,10 @@ def flip_vertex_permutation(n2: int) -> np.ndarray:
     return perm
 
 
-def color_aug(rng: np.random.RandomState, img: np.ndarray) -> np.ndarray:
-    """CornerNet-style brightness/contrast/saturation + PCA lighting
-    (ref utils/image.py:234-263). img float32 [0,1] HWC, modified copy."""
-    img = img.copy()
-    gs = img.mean(axis=2)
-    gs_mean = gs.mean()
+class PolydetSampler(BaseSampler):
+    """Polydet GT encoder; augmentation pipeline shared via BaseSampler."""
 
-    def brightness(a):
-        img[:] *= a
-
-    def contrast(a):
-        img[:] = img * a + gs_mean * (1 - a)
-
-    def saturation(a):
-        img[:] = img * a + gs[:, :, None] * (1 - a)
-
-    fns = [brightness, contrast, saturation]
-    order = rng.permutation(3)
-    for i in order:
-        alpha = 1.0 + rng.uniform(-0.4, 0.4)
-        fns[i](alpha)
-    alpha = rng.normal(scale=0.1, size=(3,))
-    img += EIG_VEC @ (EIG_VAL * alpha)
-    return img
-
-
-def _get_border(border: int, size: int) -> int:
-    i = 1
-    while size - border // i <= border // i:
-        i *= 2
-    return border // i
-
-
-class PolydetSampler:
-    """Callable GT encoder bound to a dataset + config."""
-
-    def __init__(self, cfg, meta, annotations: CocoPolyAnnotations,
-                 split: str = "train", img_dir: Optional[str] = None,
-                 seed: int = 123):
-        self.cfg = cfg
-        self.meta = meta            # dataset metadata (class tables)
-        self.coco = annotations
-        self.split = split
-        self.img_dir = img_dir
-        self.images = annotations.get_img_ids()
-        self.rng = np.random.RandomState(seed)
-
-    def __len__(self):
-        return len(self.images)
-
-    def _load_image(self, img_id: int) -> np.ndarray:
-        info = self.coco.load_img(img_id)
-        # CSV-generated GT carries absolute file_name paths (tools/csv_coco,
-        # ref convert_csv_to_coco.py) — os.path.join with an absolute second
-        # arg resolves to it regardless of img_dir, matching the reference.
-        path = os.path.join(self.img_dir or "", info["file_name"])
-        if os.path.isfile(path):
-            import cv2
-            img = cv2.imread(path)
-            if img is not None:
-                return img
-        # fixture-friendly fallback: deterministic noise of the right size
-        h, w = info.get("height", 1024), info.get("width", 2048)
-        r = np.random.RandomState(img_id % (2 ** 31))
-        return (r.rand(h, w, 3) * 255).astype(np.uint8)
+    fallback_hw = (1024, 2048)  # cityscapes frame
 
     def _fg_mask(self, img_id: int, output_h: int,
                  output_w: int) -> np.ndarray:
@@ -140,52 +73,16 @@ class PolydetSampler:
 
     def __call__(self, index: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
-        rng = self.rng
         img_id = self.images[index]
         anns = self.coco.load_anns(img_id)
         num_objs = min(len(anns), cfg.max_objs)
         num_points = cfg.nbr_points
         img = self._load_image(img_id)
         height, width = img.shape[:2]
-
-        c = np.array([width / 2.0, height / 2.0], dtype=np.float32)
-        s = max(height, width) * 1.0
         input_h, input_w = cfg.input_h, cfg.input_w
 
-        flipped = False
-        if self.split == "train":
-            if not cfg.not_rand_crop:
-                s = s * rng.choice(np.arange(0.6, 1.4, 0.1))
-                w_border = _get_border(128, width)
-                h_border = _get_border(128, height)
-                c[0] = rng.randint(low=w_border, high=width - w_border)
-                c[1] = rng.randint(low=h_border, high=height - h_border)
-            else:
-                sf, cf = cfg.scale, cfg.shift
-                c[0] += s * np.clip(rng.randn() * cf, -2 * cf, 2 * cf)
-                c[1] += s * np.clip(rng.randn() * cf, -2 * cf, 2 * cf)
-                s = s * np.clip(rng.randn() * sf + 1, 1 - sf, 1 + sf)
-            if rng.random_sample() < cfg.flip:
-                flipped = True
-                img = img[:, ::-1, :]
-                c[0] = width - c[0] - 1
-
-        trans_input = get_affine_transform(c, s, 0, (input_w, input_h))
-        try:
-            import cv2
-            inp = cv2.warpAffine(img, trans_input.astype(np.float32),
-                                 (input_w, input_h), flags=cv2.INTER_LINEAR)
-        except ImportError:
-            import jax.numpy as jnp
-            from ..geometry.affine import warp_affine
-            inp = np.asarray(warp_affine(
-                jnp.asarray(img.astype(np.float32)), trans_input,
-                (input_h, input_w)))
-        inp = inp.astype(np.float32) / 255.0
-        if self.split == "train" and not cfg.no_color_aug:
-            inp = color_aug(rng, inp)
-        inp = (inp - np.asarray(cfg.mean, np.float32)) / np.asarray(
-            cfg.std, np.float32)
+        img, c, s, flipped = self._augment_geometry(img)
+        inp = self._warp_input(img, c, s)
 
         output_h = input_h // cfg.down_ratio
         output_w = input_w // cfg.down_ratio

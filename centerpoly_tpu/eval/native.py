@@ -36,7 +36,9 @@ def ensure_built() -> bool:
                        capture_output=True)
     except (OSError, subprocess.CalledProcessError):
         return False
-    return os.path.exists(LIB_PATH)
+    # BOTH artifacts: run_kitti_eval subprocesses KITTI_EVAL_BIN, and a
+    # partially successful make must not report it as available
+    return os.path.exists(LIB_PATH) and os.path.exists(KITTI_EVAL_BIN)
 
 
 def _load():

@@ -105,6 +105,12 @@ def rasterize_results(results_per_image: Dict, meta, save_dir: str,
                 mask = np.array(mask_img)
                 mask = mask * (1 - to_remove)
             else:
+                # reference-exact: drop-class polygons are never drawn
+                # (cityscapes.py:242 draws only inside the
+                # label != pole/sign/light branch), so their
+                # score>=0.5 suppression contribution below is an
+                # all-zero mask there too — they do NOT carve pixels
+                # out of later instances
                 mask = np.zeros((h, w), dtype=np.uint8)
             if score >= 0.5:
                 to_remove = np.logical_or(to_remove, mask > 0).astype(

@@ -93,6 +93,12 @@ def make_eval_step(loss_cfg: PolydetLossConfig,
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
         outs = state.apply_fn(variables, batch["input"], train=False)
+        # same convention as train_step: loss math in f32 even when the
+        # bf16 model emits bf16 head maps (the val loss gates model_best
+        # when AP is unavailable — keep it at full precision)
+        outs = jax.tree.map(
+            lambda a: a.astype(jnp.float32)
+            if a.dtype == jnp.bfloat16 else a, outs)
         loss, stats = task_loss(outs, batch, loss_cfg)
         return outs[-1], stats
 

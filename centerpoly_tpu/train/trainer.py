@@ -122,17 +122,26 @@ class Trainer:
         return batch
 
     def run_epoch(self, epoch: int) -> Dict[str, float]:
-        meters: Dict[str, AverageMeter] = {}
+        # per-step stats stay ON DEVICE (tiny async adds): float()-ing
+        # each scalar would block the host on every step — on a
+        # tunneled backend that is a ~40 ms round trip per stat per
+        # step, and it stops the device pipelining ahead of batch prep
+        sums: Dict[str, object] = {}
+        counts: Dict[str, int] = {}
         t0 = time.time()
         n = 0
         for batch in self.train_loader:
             bsz = batch["input"].shape[0]
             self.state, stats = self.train_step(self.state, self._put(batch))
             for k, v in stats.items():
-                meters.setdefault(k, AverageMeter()).update(float(v), bsz)
+                sums[k] = v * bsz + sums[k] if k in sums else v * bsz
+                counts[k] = counts.get(k, 0) + bsz
             n += 1
+        # fetching the accumulated scalars blocks until the last step's
+        # compute is done — take the epoch time AFTER it so dt measures
+        # execution, not dispatch
+        avg = {k: float(s) / counts[k] for k, s in sums.items()}
         dt = time.time() - t0
-        avg = {k: m.avg for k, m in meters.items()}
         self._log(f"epoch {epoch} | {n} iters | {dt:.1f}s | " +
                   " ".join(f"{k} {v:.4f}" for k, v in avg.items()) + "\n")
         if self.logger is not None:

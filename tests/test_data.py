@@ -206,6 +206,21 @@ class TestLoader:
         assert seen == set(range(n)), (
             f"{sorted(set(range(n)) - seen)} never evaluated")
 
+    def test_producer_exception_propagates(self):
+        """A sampler exception mid-epoch must raise in the consumer,
+        not silently truncate the epoch (torch DataLoader semantics)."""
+        def sampler(i):
+            if i >= 3:
+                raise RuntimeError("corrupt annotation")
+            return {"i": np.asarray([i])}
+
+        loader = Loader(sampler, 6, batch_size=1, shuffle=False)
+        got = []
+        with pytest.raises(RuntimeError, match="corrupt annotation"):
+            for batch in loader:
+                got.append(int(batch["i"][0, 0]))
+        assert got == [0, 1, 2]
+
     def test_stack_batch(self):
         samples = [{"a": np.ones((2, 2)), "meta": {"x": 1}},
                    {"a": np.zeros((2, 2)), "meta": {"x": 2}}]

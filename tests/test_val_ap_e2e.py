@@ -163,3 +163,53 @@ def test_oracle_val_ap_idd_labels(tmp_path):
                       dataset_meta=meta, use_mesh=False)
     _, ap = trainer.validate(1, str(tmp_path / "out"))
     assert ap is not None and ap > 0.5, f"IDD oracle AP: {ap}"
+
+
+@pytest.mark.slow
+def test_default_run_eval_finds_gt_via_annotations(tmp_path):
+    """DatasetMeta.run_eval with NO explicit annotations/gt_images must
+    load the val annotation table itself so image ids map to real
+    cityscapes file names — the '<id>.png' fallback can never match the
+    gtFine *_instanceIds.png glob (regression: val-AP gating silently
+    degraded to -loss, test.py printed 'no GT' despite real gtFine)."""
+    from PIL import Image
+    from centerpoly_tpu.data.datasets import CityscapesMeta
+
+    rng = np.random.RandomState(0)
+    meta = CityscapesMeta(str(tmp_path))
+    meta.eval_image_size = (128, 256)
+
+    # val annotations at the meta's expected path, cityscapes naming
+    images, annotations = [], []
+    results = {}
+    gt_dir = os.path.join(tmp_path, "gtFine", "val", "tinycity")
+    os.makedirs(gt_dir, exist_ok=True)
+    for i in range(2):
+        stem = f"tinycity_0000{i}_000019"
+        images.append({"id": i, "file_name": f"{stem}_leftImg8bit.png",
+                       "height": 128, "width": 256})
+        gt = np.zeros((128, 256), np.int32)
+        x0, y0, w, h = 30 + 100 * i, 30, 60, 50
+        gt[y0:y0 + h + 1, x0:x0 + w + 1] = 26000  # one car instance
+        Image.fromarray(gt, mode="I").save(
+            os.path.join(gt_dir, f"{stem}_gtFine_instanceIds.png"))
+        poly = _rect_poly(x0, y0, w, h).reshape(-1)
+        annotations.append({
+            "id": i, "image_id": i, "category_id": 3,
+            "bbox": [float(x0), float(y0), float(w), float(h)],
+            "poly": poly.tolist(), "pseudo_depth": 0,
+            "area": float(w * h)})
+        # perfect-detection result rows [x0,y0,x1,y1,score,poly...,depth]
+        row = np.concatenate([[x0, y0, x0 + w, y0 + h, 0.95],
+                              poly, [0.0]]).astype(np.float32)
+        results[i] = {3: row[None]}
+    ann_path = meta.annot_path("val")
+    os.makedirs(os.path.dirname(ann_path), exist_ok=True)
+    json.dump({"images": images, "annotations": annotations,
+               "categories": [{"id": c, "name": n} for c, n in
+                              enumerate(CityscapesMeta.class_name[1:9], 1)]},
+              open(ann_path, "w"))
+
+    res = meta.run_eval(results, str(tmp_path / "out"))
+    assert res is not None, "GT instance images were not found"
+    assert res["allAp50%"] > 0.9
