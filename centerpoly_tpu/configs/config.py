@@ -21,10 +21,13 @@ DATASET_INFO = {
         (0.28405, 0.322669, 0.28169),
         (0.042303, 0.040882, 0.042699),
     ),
+    # kitti_poly uses imagenet-style stats and the 512x1024 resolution
+    # (ref dataset/kitti_poly.py:16-20 — NOT the cityscapes stats, and
+    # [384,1280] is the reference's commented-out value)
     "kitti_poly": (
-        (384, 1280), 8,
-        (0.28405, 0.322669, 0.28169),
-        (0.042303, 0.040882, 0.042699),
+        (512, 1024), 8,
+        (0.485, 0.456, 0.406),
+        (0.229, 0.224, 0.225),
     ),
     "IDD": (
         (512, 1024), 9,
@@ -51,7 +54,9 @@ DATASET_INFO = {
 
 def task_heads(task: str, num_classes: int, nbr_points: int = 16,
                reg_offset: bool = True, cat_spec_poly: bool = False,
-               cat_spec_wh: bool = False) -> Dict[str, int]:
+               cat_spec_wh: bool = False, agnostic_ex: bool = False,
+               reg_bbox: bool = True, hm_hp: bool = True,
+               reg_hp_offset: bool = True) -> Dict[str, int]:
     """Head table per task (ref opts.py:332-425)."""
     if task == "polydet":
         heads = {
@@ -63,17 +68,25 @@ def task_heads(task: str, num_classes: int, nbr_points: int = 16,
         heads = {"hm": num_classes,
                  "wh": 2 * (num_classes if cat_spec_wh else 1)}
     elif task == "ddd":
-        heads = {"hm": num_classes, "dep": 1, "rot": 8, "dim": 3, "wh": 2}
+        heads = {"hm": num_classes, "dep": 1, "rot": 8, "dim": 3}
+        if reg_bbox:  # ref opts.py:358-360
+            heads["wh"] = 2
     elif task == "exdet":
-        heads = {"hm_t": num_classes, "hm_l": num_classes,
-                 "hm_b": num_classes, "hm_r": num_classes,
+        # agnostic_ex merges the extreme heatmaps to 1 channel — the
+        # sampler emits 1-channel GT then (ref opts.py:349-352)
+        hc = 1 if agnostic_ex else num_classes
+        heads = {"hm_t": hc, "hm_l": hc, "hm_b": hc, "hm_r": hc,
                  "hm_c": num_classes}
         if reg_offset:
             heads.update({"reg_t": 2, "reg_l": 2, "reg_b": 2, "reg_r": 2})
         return heads
     elif task == "multi_pose":
-        heads = {"hm": num_classes, "wh": 2, "hps": 34, "hm_hp": 17,
-                 "hp_offset": 2}
+        heads = {"hm": num_classes, "wh": 2, "hps": 34}
+        # independent gates, not nested (ref opts.py:418-421)
+        if hm_hp:
+            heads["hm_hp"] = 17
+        if reg_hp_offset:
+            heads["hp_offset"] = 2
     else:
         raise ValueError(f"unknown task '{task}'")
     if reg_offset:
@@ -246,7 +259,9 @@ class Config:
         self.max_objs = 128
         self.heads = task_heads(
             self.task, self.num_classes, self.nbr_points,
-            self.reg_offset, self.cat_spec_poly, self.cat_spec_wh)
+            self.reg_offset, self.cat_spec_poly, self.cat_spec_wh,
+            agnostic_ex=self.agnostic_ex, reg_bbox=self.reg_bbox,
+            hm_hp=self.hm_hp, reg_hp_offset=self.reg_hp_offset)
 
     def to_json(self) -> str:
         d = {k: v for k, v in dataclasses.asdict(self).items()}

@@ -54,7 +54,12 @@ def polygon_coverage(gt_json: str, n_points: int = 16,
         if max_images is not None and count >= max_images:
             break
         info = ann.load_img(img_id)
-        h, w = int(info.get("height", 512)), int(info.get("width", 512))
+        # csv_coco-generated jsons (like the reference's) omit
+        # height/width — default to the cityscapes frame, NOT 512x512,
+        # or every polygon beyond pixel 512 silently rasterizes clipped
+        # and the coverage number is wrong
+        h = int(info.get("height", 1024))
+        w = int(info.get("width", 2048))
         for a in ann.load_anns(img_id):
             seg = a.get("segmentation") or (
                 [a["poly"]] if "poly" in a else None)

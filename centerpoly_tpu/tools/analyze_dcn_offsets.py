@@ -110,15 +110,20 @@ def main(argv=None):
 
     inter = collect(cfg, image=image)
     rows = offset_stats(inter, r)
-    worst = 0.0
+    worst_y = 0.0   # rowband clamps y only
+    worst_xy = 0.0  # halo clamps BOTH axes
     for row in rows:
         row["r"] = r
-        worst = max(worst, row["y_frac_clamped_at_r"])
+        worst_y = max(worst_y, row["y_frac_clamped_at_r"])
+        worst_xy = max(worst_xy, row["xy_frac_clamped_at_r"])
         print(json.dumps(row))
     print(json.dumps({
-        "summary": "rowband y-clamp saturation across nodes",
-        "r": r, "worst_node_frac": worst,
-        "lossless": worst == 0.0,
+        "summary": "offset clamp saturation across nodes at R",
+        "r": r,
+        "worst_node_frac_y": worst_y,
+        "worst_node_frac_xy": worst_xy,
+        "lossless_rowband": worst_y == 0.0,
+        "lossless_halo": worst_xy == 0.0,
     }))
 
 

@@ -34,15 +34,29 @@ def csv_to_coco(csv_path: str, out_path: Optional[str] = None,
     filename (reference's '1-on-10' mode).
     """
     cat_ids = {c: i + 1 for i, c in enumerate(cats)}
+
+    def _frame_index(path: str):
+        """Frame index for subsampling (ref convert_csv_to_coco.py:131
+        strips 'img'/'.jpg' from UA-DETRAC 'img00123.jpg' names).  NOT
+        a concatenation of every digit in the name: cityscapes-style
+        stems end in 'leftImg8bit', whose '8' would corrupt the modulo
+        and silently drop every image.  Falls back to the last
+        all-digit '_'-separated field; None (keep) when no index."""
+        stem = os.path.splitext(os.path.basename(path))[0]
+        simple = stem.replace("img", "")
+        if simple.isdigit():
+            return int(simple)
+        fields = [f for f in stem.split("_") if f.isdigit()]
+        return int(fields[-1]) if fields else None
+
     image_to_rows: Dict[str, List[List[str]]] = {}
     with open(csv_path, newline="") as f:
         for items in csv.reader(f):
             if not items:
                 continue
             if subsample:
-                stem = os.path.basename(items[0])
-                digits = "".join(ch for ch in stem if ch.isdigit())
-                if digits and int(digits) % subsample != 0:
+                idx = _frame_index(items[0])
+                if idx is not None and idx % subsample != 0:
                     continue
             image_to_rows.setdefault(items[0], []).append(items[1:])
 

@@ -174,14 +174,19 @@ def sample_polygon(polygon, n_points: int, method: str = "regular_interval",
 def generate_annotations(gt_json_path: str, image_path: str, n_points: int,
                          method: str = "regular_interval",
                          labels: Sequence[str] = tuple(HAVE_INSTANCES),
-                         height: int = 1024, width: int = 2048) -> List[list]:
+                         height: int = 1024, width: int = 2048,
+                         data: dict | None = None) -> List[list]:
     """CSV rows for one Cityscapes `*_polygons.json` ground-truth file.
 
     Objects are processed in reverse annotation order so the per-image
     `count` index encodes draw order (bottom-most last = highest
-    pseudo-depth), reference :143-215.
+    pseudo-depth), reference :143-215.  Pass `data` to reuse an
+    already-parsed json (main() reads the file for imgHeight/imgWidth —
+    re-parsing multi-MB polygon files doubles the tool's runtime).
     """
-    data = json.load(open(gt_json_path))
+    if data is None:
+        with open(gt_json_path) as f:
+            data = json.load(f)
     objects = list(data["objects"])
     objects.reverse()
     rows = []
@@ -232,11 +237,12 @@ def main(argv=None):
         for img in files:
             gt = img.replace("leftImg8bit", args.gt_kind).replace(
                 ".png", "_polygons.json")
-            data = json.load(open(gt))
+            with open(gt) as fh:
+                data = json.load(fh)
             rows = generate_annotations(
                 gt, img, args.nbr_points, args.method,
                 height=data.get("imgHeight", 1024),
-                width=data.get("imgWidth", 2048))
+                width=data.get("imgWidth", 2048), data=data)
             for r in rows:
                 w.writerow(r)
     print(f"wrote {args.out} ({len(files)} images)")

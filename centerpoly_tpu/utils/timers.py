@@ -45,11 +45,12 @@ class StageTimer:
 
     def stage(self, name: str, fence=None):
         if fence is not None:
-            try:
-                import jax
-                jax.block_until_ready(fence)
-            except Exception:
-                pass
+            # no blanket except: a computation error surfacing at the
+            # fence must raise HERE, attributed to this stage — not be
+            # swallowed into a bogus ~0 ms time and resurface later at
+            # the host fetch blamed on the wrong stage
+            import jax
+            jax.block_until_ready(fence)
         now = time.perf_counter()
         self.times[name] = self.times.get(name, 0.0) + (now - self._t0)
         self._t0 = now

@@ -189,3 +189,60 @@ class TestHourglassWeights:
         assert out["module.kps.0.hm_c.weight"] == 2
         assert out["module.kps.0.reg_l.bias"] == 3
         assert out["module.pre.0.conv.weight"] == 4
+
+
+class TestSubsampleFrameIndex:
+    def test_uadetrac_names(self, tmp_path):
+        """'img00123.jpg' style: strip img/.jpg and parse (ref
+        convert_csv_to_coco.py:131)."""
+        import csv as _csv
+        from centerpoly_tpu.tools.csv_coco import csv_to_coco
+        src = tmp_path / "in.csv"
+        with open(src, "w", newline="") as f:
+            w = _csv.writer(f)
+            for i in range(25):
+                w.writerow([f"img{i:05d}.jpg", 0, 0, 10, 10, "car", 1,
+                            0, 0, 10, 0, 10, 10, 0, 10])
+        out = csv_to_coco(str(src), str(tmp_path / "o.json"),
+                          cats=("car",), subsample=10)
+        assert len(out["images"]) == 3  # frames 0, 10, 20
+
+    def test_cityscapes_names_not_corrupted_by_suffix_digits(self,
+                                                             tmp_path):
+        """'..._000019_leftImg8bit.png': the 8 of '8bit' must not enter
+        the frame index (regression: all-digit concatenation dropped
+        EVERY cityscapes image under subsample)."""
+        import csv as _csv
+        from centerpoly_tpu.tools.csv_coco import csv_to_coco
+        src = tmp_path / "in.csv"
+        with open(src, "w", newline="") as f:
+            w = _csv.writer(f)
+            for i in range(30):
+                w.writerow([f"aachen_000000_{i:06d}_leftImg8bit.png",
+                            0, 0, 10, 10, "car", 1,
+                            0, 0, 10, 0, 10, 10, 0, 10])
+        out = csv_to_coco(str(src), str(tmp_path / "o.json"),
+                          cats=("car",), subsample=10)
+        assert len(out["images"]) == 3  # frames 0, 10, 20
+
+
+class TestTaskHeadGating:
+    def test_exdet_agnostic(self):
+        from centerpoly_tpu.configs.config import task_heads
+        h = task_heads("exdet", 80, agnostic_ex=True)
+        assert h["hm_t"] == h["hm_l"] == h["hm_b"] == h["hm_r"] == 1
+        assert h["hm_c"] == 80  # center heat stays per-class
+        h = task_heads("exdet", 80, agnostic_ex=False)
+        assert h["hm_t"] == 80
+
+    def test_ddd_reg_bbox_gate(self):
+        from centerpoly_tpu.configs.config import task_heads
+        assert "wh" not in task_heads("ddd", 3, reg_bbox=False)
+        assert task_heads("ddd", 3, reg_bbox=True)["wh"] == 2
+
+    def test_multi_pose_gates(self):
+        from centerpoly_tpu.configs.config import task_heads
+        h = task_heads("multi_pose", 1, hm_hp=False, reg_hp_offset=False)
+        assert "hm_hp" not in h and "hp_offset" not in h
+        h = task_heads("multi_pose", 1, hm_hp=False, reg_hp_offset=True)
+        assert "hm_hp" not in h and h["hp_offset"] == 2  # independent gates
