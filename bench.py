@@ -90,6 +90,51 @@ def ensure_backend(retries: int = 3, timeout_s: float = 120.0,
     return False
 
 
+def _prime_auto_table(timeout_s: float = 1500.0) -> None:
+    """Self-priming DCN formulation selection.
+
+    When the formulation is `auto` and the measured per-shape winner
+    table (experiments/dcn_auto_table.json) has no entries for the
+    b=1 inference shapes, run a LEAN tapwise-vs-quad shoot-out in a
+    bounded subprocess to write them, so this bench's pipeline uses the
+    measured winner even if the full experiment queue never ran on this
+    chip (the tunnel was down for most of round 3).  Any failure or
+    timeout falls through to the static heuristic — never fatal.
+    """
+    if os.environ.get(
+            "CENTERPOLY_DCN_FORMULATION", "auto").lower() != "auto":
+        return
+    root = os.path.dirname(os.path.abspath(__file__))
+    table_path = os.environ.get(
+        "CENTERPOLY_DCN_AUTO_TABLE",
+        os.path.join(root, "experiments", "dcn_auto_table.json"))
+    try:
+        with open(table_path) as f:
+            table = json.load(f)
+    except (OSError, ValueError):
+        table = {}
+    # the three DLA-34 @512x1024 inference node shape classes (b=1)
+    keys = ["1,128,256,64,0", "1,64,128,128,0", "1,32,64,256,0"]
+    if all(k in table for k in keys):
+        return
+    print("# auto table has no inference entries; priming with a "
+          "tapwise-vs-quad shoot-out (bounded)", file=sys.stderr)
+    try:
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(root, "experiments", "bench_dcn_variants.py"),
+             "--batch", "1", "--dtype", "bfloat16", "--write_table",
+             "--variants", "xla_tapwise,xla_quad", "--no_floor"],
+            timeout=timeout_s, capture_output=True, text=True)
+        sys.stderr.write(proc.stdout + proc.stderr)
+        if proc.returncode != 0:
+            print("# shoot-out failed; using the static heuristic",
+                  file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print("# shoot-out timed out; using the static heuristic",
+              file=sys.stderr)
+
+
 def main():
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
@@ -109,6 +154,8 @@ def main():
                      "down; device discovery blocks forever)",
         }))
         sys.exit(1)
+
+    _prime_auto_table()
 
     import jax
     import jax.numpy as jnp

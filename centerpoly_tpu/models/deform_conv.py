@@ -636,7 +636,15 @@ def resolve_formulation(b: int, h: int, w: int, cin: int,
     if form in FORMULATIONS:
         return form
     need_remat = train and _dcn_remat_on(b, h, w, cin)
-    hit = _auto_table().get(f"{b},{h},{w},{cin},{int(bool(train))}")
+    table = _auto_table()
+    hit = table.get(f"{b},{h},{w},{cin},{int(bool(train))}")
+    if hit is None and b != 1:
+        # batch-relaxed fallback: the formulation race is about the
+        # per-pixel gather path, which is batch-invariant to first
+        # order — a measured b=1 winner for the same (h,w,cin) class
+        # beats the static heuristic (memory is separately protected by
+        # the remat coercion below)
+        hit = table.get(f"1,{h},{w},{cin},{int(bool(train))}")
     if hit is not None:
         if need_remat:
             # the remat guard is a MEMORY constraint, not a speed pick:

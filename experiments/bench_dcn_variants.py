@@ -34,12 +34,29 @@ def main():
                    help="time the TRAINING step (fwd + full backward via "
                         "jax.grad) instead of the forward, and tag table "
                         "entries as train-time")
+    p.add_argument("--variants", default=None,
+                   help="comma-separated subset of xla_4corner,xla_quad,"
+                        "xla_tapwise,xla_quad_tapwise,pallas_halo to time "
+                        "(default: all). bench.py's self-priming pre-step "
+                        "uses xla_tapwise,xla_quad for a lean shoot-out")
+    p.add_argument("--no_floor", action="store_true",
+                   help="skip the plain-conv3x3 speed-of-light floor row "
+                        "(saves 2 compiles/shape when only the table "
+                        "matters)")
+    p.add_argument("--shapes", default=None,
+                   help="semicolon-separated h,w,cin,cout overrides for "
+                        "the default DLA-34 inference node shapes, e.g. "
+                        "'32,64,256,256;64,128,128,128'")
     args = p.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.join(os.path.dirname(os.path.dirname(
                               os.path.abspath(__file__))), ".jax_cache"))
     import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        # sitecustomize imports jax before env vars are read; re-apply
+        # so `JAX_PLATFORMS=cpu python experiments/...` works standalone
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     from centerpoly_tpu.models.deform_conv import (
         deform_conv2d, deform_conv2d_pairs, deform_conv2d_quad,
@@ -52,6 +69,11 @@ def main():
     shapes = [(b, 128, 256, 64, 64),
               (b, 64, 128, 128, 128),
               (b, 32, 64, 256, 256)]
+    if args.shapes:
+        shapes = []
+        for spec in args.shapes.split(";"):
+            h, w, cin, cout = (int(v) for v in spec.split(","))
+            shapes.append((b, h, w, cin, cout))
     rng = np.random.RandomState(0)
     R = float(args.halo_r)
 
@@ -80,17 +102,28 @@ def main():
         except Exception:
             pass
 
+        if args.variants:
+            keep = {v.strip() for v in args.variants.split(",") if v.strip()}
+            known = {"xla_4corner", "xla_quad", "xla_tapwise",
+                     "xla_quad_tapwise", "xla_pairs", "pallas_halo"}
+            unknown = keep - known
+            if unknown:
+                raise SystemExit(f"unknown --variants {sorted(unknown)}; "
+                                 f"available: {sorted(known)}")
+            variants = {n: f for n, f in variants.items() if n in keep}
+
         row = {"shape": f"{bb}x{h}x{w}x{cin}->{cout}"}
 
-        # floor: plain 3x3 conv (same MXU work as the DCN contraction)
-        def conv_floor(eps, x, wgt):
-            return jnp.sum(jax.lax.conv_general_dilated(
-                (x + eps.astype(x.dtype)), wgt, (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=jnp.float32))
+        if not args.no_floor:
+            # floor: plain 3x3 conv (same MXU work as the DCN contraction)
+            def conv_floor(eps, x, wgt):
+                return jnp.sum(jax.lax.conv_general_dilated(
+                    (x + eps.astype(x.dtype)), wgt, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32))
 
-        row["conv3x3_floor_ms"] = round(
-            measure_device_time(conv_floor, (x, wgt)) * 1e3, 3)
+            row["conv3x3_floor_ms"] = round(
+                measure_device_time(conv_floor, (x, wgt)) * 1e3, 3)
 
         ref = None
         for name, fn in variants.items():
@@ -126,13 +159,25 @@ def main():
 
         if args.write_table:
             # fastest XLA formulation -> auto-table entry for this shape
+            if (jax.default_backend() == "cpu"
+                    and not os.environ.get("CENTERPOLY_ALLOW_CPU_TABLE")):
+                # the table steers PRODUCTION TPU formulation choice;
+                # CPU gather relative costs are not transferable
+                print("# refusing to write CPU timings into the auto "
+                      "table (set CENTERPOLY_ALLOW_CPU_TABLE=1 to force)",
+                      flush=True)
+                continue
             xla_names = {"xla_4corner": "fused", "xla_quad": "quad",
                          "xla_tapwise": "tapwise",
                          "xla_quad_tapwise": "quad_tapwise"}
-            best = min((n for n in xla_names if f"{n}_ms" in row),
-                       key=lambda n: row[f"{n}_ms"])
-            table_path = os.path.join(os.path.dirname(
-                os.path.abspath(__file__)), "dcn_auto_table.json")
+            timed = [n for n in xla_names if f"{n}_ms" in row]
+            if not timed:
+                continue
+            best = min(timed, key=lambda n: row[f"{n}_ms"])
+            table_path = os.environ.get(
+                "CENTERPOLY_DCN_AUTO_TABLE",
+                os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), "dcn_auto_table.json"))
             try:
                 with open(table_path) as f:
                     table = json.load(f)

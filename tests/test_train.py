@@ -288,6 +288,28 @@ class TestFormulationSelection:
         assert dc.resolve_formulation(1, 2, 2, 2, False) == "fused"
         monkeypatch.setattr(dc, "_AUTO_TABLE", None)
 
+    def test_batch_relaxed_lookup(self, monkeypatch, tmp_path):
+        """A b=1 measured winner generalizes to other batch sizes of
+        the same (h,w,cin) class; remat coercion still protects HBM."""
+        from centerpoly_tpu.models import deform_conv as dc
+        monkeypatch.delenv("CENTERPOLY_DCN_FORMULATION", raising=False)
+        table = tmp_path / "table.json"
+        table.write_text('{"1,32,64,256,0": "quad", '
+                         '"1,64,128,128,1": "quad"}')
+        monkeypatch.setenv("CENTERPOLY_DCN_AUTO_TABLE", str(table))
+        monkeypatch.setattr(dc, "_AUTO_TABLE", None)
+        assert dc.resolve_formulation(8, 32, 64, 256, False) == "quad"
+        # train-time relaxed hit is coerced to the checkpointed sibling
+        # whenever the remat guard fires for the bigger batch
+        got = dc.resolve_formulation(8, 64, 128, 128, True)
+        assert got in ("quad", "quad_tapwise")
+        # exact b hit still beats the relaxed one
+        table.write_text('{"1,32,64,256,0": "quad", '
+                         '"8,32,64,256,0": "tapwise"}')
+        monkeypatch.setattr(dc, "_AUTO_TABLE", None)
+        assert dc.resolve_formulation(8, 32, 64, 256, False) == "tapwise"
+        monkeypatch.setattr(dc, "_AUTO_TABLE", None)
+
     def test_heuristic_fallback(self, monkeypatch, tmp_path):
         from centerpoly_tpu.models import deform_conv as dc
         monkeypatch.delenv("CENTERPOLY_DCN_FORMULATION", raising=False)
