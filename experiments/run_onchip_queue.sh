@@ -59,6 +59,9 @@ for layout in nchw im2col; do
   CENTERPOLY_STEM_LAYOUT=$layout timeout 1800 python experiments/profile_inference.py
 done
 
+echo "=== 8c. paper-config (smallhourglass) full-pipeline profile ==="
+timeout 1800 python experiments/profile_inference.py --archs smallhourglass
+
 echo "=== 8b. Mosaic compile-surface re-bisect (toolchain may have moved) ==="
 timeout 1200 python experiments/probe_mosaic_gather.py
 
