@@ -38,6 +38,29 @@ def lr_schedule(base_lr: float, lr_steps: Sequence[int],
     return optax.piecewise_constant_schedule(base_lr, boundaries)
 
 
+def _fast_init_variables(model, rng, input_shape):
+    """Shape-only init: eval_shape the init program (no XLA compile or
+    execution) and fill leaves with small deterministic host values.
+
+    For compile checks and dryruns the *values* of the params are
+    irrelevant — only their shapes/dtypes and the train step's sharding
+    are under test — and model.init on a 1-core CPU host costs ~20 s of
+    XLA compile that eval_shape avoids entirely.
+    """
+    import numpy as np
+
+    shapes = jax.eval_shape(
+        lambda r: model.init(r, jnp.zeros(input_shape), train=False), rng)
+    host_rng = np.random.RandomState(0)
+
+    def fill(leaf):
+        arr = (host_rng.standard_normal(leaf.shape) * 0.05).astype(
+            np.dtype(leaf.dtype))
+        return jnp.asarray(arr)
+
+    return jax.tree.map(fill, shapes)
+
+
 def create_train_state(
     model,
     rng,
@@ -46,8 +69,12 @@ def create_train_state(
     lr_steps: Sequence[int] = (90, 120),
     steps_per_epoch: int = 1000,
     grad_clip: Optional[float] = None,
+    fast_init: bool = False,
 ) -> TrainState:
-    variables = model.init(rng, jnp.zeros(input_shape), train=False)
+    if fast_init:
+        variables = _fast_init_variables(model, rng, input_shape)
+    else:
+        variables = model.init(rng, jnp.zeros(input_shape), train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     sched = lr_schedule(base_lr, lr_steps, steps_per_epoch)
