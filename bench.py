@@ -79,15 +79,20 @@ def _backend_alive(timeout_s: float = 120.0) -> bool:
 
 
 def ensure_backend(retries: int = 3, timeout_s: float = 120.0,
-                   backoff_s: float = 30.0) -> bool:
+                   backoff_s: float = 30.0) -> "float | None":
+    """Returns how long the successful probe took (s), or None if the
+    backend never came up.  A slow success signals a flaky tunnel — the
+    caller uses it to skip optional extras (auto-table priming) and go
+    straight for the headline measurement."""
     for attempt in range(retries):
+        t0 = time.time()
         if _backend_alive(timeout_s):
-            return True
+            return time.time() - t0
         print(f"# backend probe {attempt + 1}/{retries} failed "
               f"(tiny-jit subprocess hung or errored)", file=sys.stderr)
         if attempt + 1 < retries:
             time.sleep(backoff_s)
-    return False
+    return None
 
 
 def _prime_auto_table(timeout_s: float = 1500.0) -> None:
@@ -142,7 +147,8 @@ def main():
                      ".jax_cache"))
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-    if not ensure_backend():
+    probe_s = ensure_backend()
+    if probe_s is None:
         # final line is still a parseable JSON object for the driver
         print(json.dumps({
             "metric": PRIMARY_METRIC,
@@ -155,7 +161,14 @@ def main():
         }))
         sys.exit(1)
 
-    _prime_auto_table()
+    # self-priming is an optional extra: if even the tiny-jit probe took
+    # >30 s the tunnel is flaky/cold and the ~15 min shoot-out could eat
+    # the driver's whole bench window — spend it on the headline number
+    if probe_s <= 30.0:
+        _prime_auto_table(timeout_s=900.0)
+    else:
+        print(f"# backend probe took {probe_s:.0f}s; skipping auto-table "
+              f"priming to protect the measurement budget", file=sys.stderr)
 
     import jax
     import jax.numpy as jnp

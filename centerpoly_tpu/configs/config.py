@@ -254,6 +254,17 @@ class Config:
                 os.environ.pop(var, None)
             else:
                 os.environ[var] = prior
+        if self.poly_loss in ("iou", "l1+iou") and self.rep == "cartesian":
+            # deliberate deviation from the reference (losses.py:1049-1060
+            # computes IoU on raw channel pairs even for cartesian — i.e.
+            # reads (x, y) as (r, theta), a silent bug): this repo's
+            # polar-sort IoU is only meaningful for polar reps.  Fail at
+            # config construction, not mid-trace (losses/poly.py:141).
+            raise ValueError(
+                f"poly_loss='{self.poly_loss}' requires rep='polar' or "
+                f"'polar_fixed' (got rep='cartesian'): the polygon IoU "
+                f"loss sorts (r, theta) vertex pairs by theta, which has "
+                f"no meaning for cartesian polygons")
         self.output_h = self.input_h // self.down_ratio
         self.output_w = self.input_w // self.down_ratio
         self.max_objs = 128

@@ -27,23 +27,30 @@ KITTI_EVAL_BIN = os.path.join(CPP_DIR, "build", "kitti_eval")
 _lib = None
 
 
-def ensure_built() -> bool:
-    """Build cpp/ artifacts if missing. Returns True when available."""
-    if os.path.exists(LIB_PATH) and os.path.exists(KITTI_EVAL_BIN):
+def ensure_built(artifacts=(LIB_PATH, KITTI_EVAL_BIN)) -> bool:
+    """Build cpp/ artifacts if missing. Returns True when every artifact
+    in `artifacts` is available.
+
+    Gated per artifact: the confusion-matrix library must not be
+    reported unavailable (dropping add_to_confusion_matrix to the slow
+    numpy fallback) just because the unrelated kitti_eval binary failed
+    to build, and vice versa.
+    """
+    if all(os.path.exists(a) for a in artifacts):
         return True
     try:
         subprocess.run(["make", "-C", CPP_DIR], check=True,
                        capture_output=True)
     except (OSError, subprocess.CalledProcessError):
-        return False
-    # BOTH artifacts: run_kitti_eval subprocesses KITTI_EVAL_BIN, and a
-    # partially successful make must not report it as available
-    return os.path.exists(LIB_PATH) and os.path.exists(KITTI_EVAL_BIN)
+        pass
+    # re-check after make: a partially successful build may still have
+    # produced everything this caller needs
+    return all(os.path.exists(a) for a in artifacts)
 
 
 def _load():
     global _lib
-    if _lib is None and ensure_built():
+    if _lib is None and ensure_built(artifacts=(LIB_PATH,)):
         lib = ctypes.CDLL(LIB_PATH)
         lib.add_to_confusion_matrix.argtypes = [
             ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
@@ -94,7 +101,7 @@ def run_kitti_eval(gt_dir: str, result_dir: str
     Returns {class: {metric: [easy, moderate, hard]}} with metrics in
     {'detection', 'bev', '3d', 'aos'}; None if the binary is unavailable.
     """
-    if not ensure_built():
+    if not ensure_built(artifacts=(KITTI_EVAL_BIN,)):
         return None
     proc = subprocess.run([KITTI_EVAL_BIN, gt_dir, result_dir],
                           capture_output=True, text=True)

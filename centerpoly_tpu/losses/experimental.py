@@ -138,3 +138,169 @@ def area_poly_loss(pred: np.ndarray, mask: np.ndarray,
         loss += float(np.mean((m - target_mask[bi]) ** 2))
     denom = float(mask.sum()) * pred.shape[2] + 1e-4
     return loss / denom
+
+
+# ---------------------------------------------------------------------------
+# TPU-native differentiable variants
+#
+# The reference's DiskLoss/AreaPolyLoss rasterize with PIL on the host and
+# are therefore non-differentiable diagnostics (losses.py:961-1090 — never
+# part of the total loss).  The variants below keep the same contract but
+# soft-rasterize on device (SoftRas-style sigmoid of a signed distance
+# field), so they are jittable, vmappable, AND usable as training terms —
+# a strict capability superset of the reference.
+# ---------------------------------------------------------------------------
+
+
+def _rep_to_xy(rows, rep: str):
+    """(…, 2N) head-representation rows -> (…, N, 2) cartesian vertices.
+
+    Mirrors create_mask's per-rep decode (ref losses.py:225-277) but
+    vectorized; for polar_fixed the prediction uses the reference's
+    literal-2*3.14 angle table while radius channels stay at even
+    indices.
+    """
+    import jax.numpy as jnp
+
+    n2 = rows.shape[-1] - (rows.shape[-1] % 2)
+    rows = rows[..., :n2]
+    ev = rows[..., 0::2]
+    od = rows[..., 1::2]
+    if rep == "polar":
+        x = ev * jnp.cos(od)
+        y = ev * jnp.sin(od)
+    elif rep == "polar_fixed":
+        n = n2 // 2
+        j = jnp.arange(n, dtype=rows.dtype) * 2
+        ang = 2 * 3.14 - 2 * 3.14 / n2 * j
+        x = ev * jnp.cos(ang)
+        y = ev * jnp.sin(ang)
+    else:
+        x, y = ev, od
+    return jnp.stack([x, y], axis=-1)
+
+
+def soft_polygon_mask(vertices, height: int, width: int,
+                      tau: float = 1.0):
+    """Differentiable polygon rasterization: sigmoid(signed_dist / tau).
+
+    vertices: (N, 2) xy in canvas coordinates.  Returns (H, W) in [0, 1]
+    (~1 inside).  Inside-ness by even-odd crossing number (matches PIL's
+    fill rule for the simple polygons these losses see); magnitude is
+    the exact min distance to the polygon edges, so gradients flow to
+    every vertex of the nearest edge.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ys = jnp.arange(height, dtype=vertices.dtype) + 0.5
+    xs = jnp.arange(width, dtype=vertices.dtype) + 0.5
+    px = xs[None, :, None]                       # (1, W, 1)
+    py = ys[:, None, None]                       # (H, 1, 1)
+
+    a = vertices                                  # (N, 2)
+    b = jnp.roll(vertices, -1, axis=0)            # (N, 2)
+    ax, ay = a[:, 0][None, None], a[:, 1][None, None]   # (1, 1, N)
+    bx, by = b[:, 0][None, None], b[:, 1][None, None]
+
+    # point-to-segment distance, all edges at once: (H, W, N)
+    ex, ey = bx - ax, by - ay
+    len2 = ex * ex + ey * ey + 1e-12
+    t = jnp.clip(((px - ax) * ex + (py - ay) * ey) / len2, 0.0, 1.0)
+    dx = px - (ax + t * ex)
+    dy = py - (ay + t * ey)
+    dist = jnp.sqrt(jnp.min(dx * dx + dy * dy, axis=-1) + 1e-12)  # (H, W)
+
+    # even-odd crossing number (horizontal ray to +x)
+    cond = (ay > py) != (by > py)
+    x_int = ax + (py - ay) * ex / jnp.where(jnp.abs(ey) < 1e-12, 1e-12, ey)
+    crossings = jnp.sum(cond & (px < x_int), axis=-1)
+    inside = (crossings % 2).astype(vertices.dtype)
+
+    signed = jnp.where(inside > 0, dist, -dist)
+    return jax.nn.sigmoid(signed / tau)
+
+
+def soft_disks_mask(centers, radius, height: int, width: int,
+                    tau: float = 1.0):
+    """Differentiable union-of-disks rasterization.
+
+    centers: (N, 2) xy; radius: scalar.  Union via max over disks (exact
+    for the union indicator; subgradient goes to the nearest disk, like
+    the min-distance in soft_polygon_mask).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    ys = jnp.arange(height, dtype=centers.dtype) + 0.5
+    xs = jnp.arange(width, dtype=centers.dtype) + 0.5
+    dx = xs[None, :, None] - centers[:, 0][None, None]
+    dy = ys[:, None, None] - centers[:, 1][None, None]
+    d = jnp.sqrt(dx * dx + dy * dy + 1e-12)        # (H, W, N)
+    signed = radius - jnp.min(d, axis=-1)          # >0 inside some disk
+    return jax.nn.sigmoid(signed / tau)
+
+
+def _soft_iou(m1, m2):
+    import jax.numpy as jnp
+
+    inter = jnp.sum(m1 * m2)
+    union = jnp.sum(m1 + m2 - m1 * m2)
+    return inter / (union + 1e-6)
+
+
+def disk_loss_device(pred, mask, target, height: int, width: int,
+                     rep: str = "cartesian", tau: float = 1.0):
+    """Differentiable on-device DiskLoss (TPU-native successor of
+    disk_loss / ref losses.py:961-1066).
+
+    pred/target: (B, K, 2N+1) gathered rows (last channel = disk
+    radius); mask: (B, K).  Rasterizes ALL N disks (the reference's
+    last-vertex-skipping loop bound was a bug kept only in the host
+    parity version above) and returns mean masked (1 - soft IoU).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    def one(prow, trow):
+        pv = _rep_to_xy(prow[:-1], "cartesian")   # disks at RAW channel
+        gv = _rep_to_xy(trow[:-1], rep)           # pairs, like the ref
+        off = jnp.asarray([width // 4, height // 4], prow.dtype)
+        disks = soft_disks_mask(pv + off, jnp.abs(prow[-1]),
+                                height, width, tau)
+        gt = soft_polygon_mask(gv + off, height, width, tau)
+        return 1.0 - _soft_iou(disks, gt)
+
+    per_obj = jax.vmap(jax.vmap(one))(pred, target)   # (B, K)
+    m = mask.astype(per_obj.dtype)
+    return jnp.sum(per_obj * m) / (jnp.sum(m) + 1e-6)
+
+
+def area_poly_loss_device(pred, mask, target_mask, centers,
+                          rep: str = "cartesian", tau: float = 1.0):
+    """Differentiable on-device AreaPolyLoss (TPU-native successor of
+    area_poly_loss / ref losses.py:1068-1090).
+
+    pred: (B, K, 2N) vertex rows; centers: (B, K, 2); target_mask:
+    (B, H, W) in [0, 1]; mask: (B, K).  Uses the INTENDED semantics the
+    reference's one-outline-for-all-objects PIL call approximates: a
+    masked soft union of per-object polygons, MSE against the GT mask.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    h, w = target_mask.shape[1:3]
+
+    def one_img(prows, ctrs, msk):
+        def one_obj(prow, c):
+            v = _rep_to_xy(prow, rep) + c[None, :]
+            return soft_polygon_mask(v, h, w, tau)
+        masks = jax.vmap(one_obj)(prows, ctrs)          # (K, H, W)
+        m = msk.astype(masks.dtype)[:, None, None]
+        union = 1.0 - jnp.prod(1.0 - masks * m, axis=0)  # (H, W)
+        return union
+
+    union = jax.vmap(one_img)(pred, centers, mask)       # (B, H, W)
+    per_img = jnp.mean(
+        (union - target_mask.astype(union.dtype)) ** 2, axis=(1, 2))
+    return jnp.sum(per_img) / (jnp.sum(mask) + 1e-4)

@@ -635,6 +635,15 @@ def resolve_formulation(b: int, h: int, w: int, cin: int,
     form = os.environ.get("CENTERPOLY_DCN_FORMULATION", "auto").lower()
     if form in FORMULATIONS:
         return form
+    if form != "auto":
+        # a typo ('quad-tapwise', or 'rowband' which belongs to
+        # CENTERPOLY_PALLAS_DCN) must not silently train/benchmark a
+        # different formulation than the one explicitly asked for
+        raise ValueError(
+            f"CENTERPOLY_DCN_FORMULATION={form!r} is not a known "
+            f"formulation; use 'auto' or one of "
+            f"{sorted(FORMULATIONS)} (Pallas kernels are selected via "
+            f"CENTERPOLY_PALLAS_DCN instead)")
     need_remat = train and _dcn_remat_on(b, h, w, cin)
     table = _auto_table()
     hit = table.get(f"{b},{h},{w},{cin},{int(bool(train))}")
@@ -770,15 +779,19 @@ class DCNv2(nn.Module):
         use_rb, rb_r = rowband_dcn_mode(h, w, cin, self.features,
                                         dtype=x.dtype)
         if rb_r is not None:
-            # rowband mode: y-offsets bounded, x exact — apply the same
-            # y-only clamp whether the kernel or the XLA fallback runs
-            from ..kernels.dcn_rowband import _clamp_y
-            offsets = _clamp_y(offsets, float(rb_r))
+            # rowband mode: y-offsets bounded, x exact.  The kernel owns
+            # its own clamp (and the 0.5 saturation tie-gradient) — pass
+            # it RAW offsets; clamping here too would compose two clamps
+            # and halve the gradient at the bound to 0.25
             if use_rb:
                 from ..kernels.dcn_rowband import deform_conv2d_rowband
                 return deform_conv2d_rowband(
                     x, offsets, masks, weights.astype(x.dtype),
                     bias.astype(x.dtype), rb_r)
+            # XLA fallback under rowband mode: apply the identical
+            # y-only bound once so the math matches the kernel path
+            from ..kernels.dcn_rowband import _clamp_y
+            offsets = _clamp_y(offsets, float(rb_r))
         use_halo, r = halo_dcn_mode(h, w, cin, self.features,
                                     dtype=x.dtype)
         if r is not None:

@@ -1,13 +1,19 @@
 #!/bin/bash
-# One-shot on-chip measurement queue (round 3). Run from the repo root
+# One-shot on-chip measurement queue (round 4). Run from the repo root
 # the moment the TPU tunnel is back:
 #
-#   bash experiments/run_onchip_queue.sh 2>&1 | tee /tmp/onchip_r3.log
+#   bash experiments/run_onchip_queue.sh 2>&1 | tee /tmp/onchip_r4.log
+#
+# `--quick` runs only steps 0/1/2/9 (~45 min of caps) so a short tunnel
+# window still produces the headline device-time number; rerun without
+# the flag when the window is long.
 #
 # Order matters: the auto-table write (step 1) changes what `auto`
 # selects in every later full-model run. Every step is individually
 # bounded so one hung run can't eat the session.
 set -x
+QUICK=0
+[ "$1" = "--quick" ] && QUICK=1
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
@@ -25,6 +31,13 @@ for form in tapwise quad fused; do
 done
 echo "--- formulation=auto (measured table)"
 timeout 1800 python experiments/profile_inference.py
+
+if [ "$QUICK" = "1" ]; then
+  echo "=== 9. the driver bench (quick mode) ==="
+  timeout 1800 python bench.py
+  echo "=== QUICK QUEUE COMPLETE (rerun without --quick for steps 3-8) ==="
+  exit 0
+fi
 
 echo "=== 3. rowband Pallas kernel: compile + numerics + timing ==="
 timeout 2400 python experiments/bench_dcn_rowband.py --r 4

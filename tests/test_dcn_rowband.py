@@ -46,6 +46,39 @@ class TestGating:
         with pytest.warns(UserWarning):
             assert rowband_dcn_mode(8, 8, 8, 8)[1] == DEFAULT_MAX_OFFSET
 
+    def test_module_passes_raw_offsets_to_kernel(self, monkeypatch):
+        """The kernel owns the y-clamp (and its 0.5 saturation
+        tie-gradient); DCNv2 must NOT pre-clamp, or the composed
+        gradient at the bound halves to 0.25 (round-3 advisor)."""
+        from centerpoly_tpu.kernels import dcn_rowband as rb
+        from centerpoly_tpu.models import deform_conv as dc
+
+        seen = {}
+
+        def spy(x, off, mask, wt, bias, r):
+            seen["off_max"] = float(jnp.max(jnp.abs(off)))
+            # stand in with the XLA oracle: the Pallas kernel itself
+            # can't compile on the CPU test backend
+            return rb.deform_conv2d_rowband_ref(x, off, mask, wt, bias, r)
+
+        monkeypatch.setattr(rb, "deform_conv2d_rowband", spy)
+        monkeypatch.setattr(dc, "rowband_dcn_mode",
+                            lambda *a, **k: (True, 2))
+        m = dc.DCNv2(8)
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 8, 16, 8),
+                        jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        # push the offset-conv bias way past R so a pre-clamp would be
+        # visible at the kernel boundary
+        v = jax.tree.map(lambda a: a, v)  # unfreeze-safe copy
+        params = jax.tree_util.tree_map(lambda a: a, v["params"])
+        bias = params["conv_offset_mask"]["bias"]
+        params["conv_offset_mask"]["bias"] = bias.at[:18].set(7.0)
+        out = m.apply({"params": params}, x)
+        assert out.shape == (1, 8, 16, 8)
+        assert seen["off_max"] > 2.0 + 1e-3, (
+            "DCNv2 pre-clamped the offsets it handed the rowband kernel")
+
     def test_module_rowband_fallback_clamps(self, monkeypatch):
         """In rowband mode on CPU the module must run the XLA path WITH
         the y-only clamp — same math the kernel would compute."""

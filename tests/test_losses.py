@@ -178,6 +178,19 @@ class TestPolyLossDispatch:
         with pytest.raises(ValueError, match="polar"):
             poly_loss(out, mask, ind, tgt, rep="cartesian", kind="iou")
 
+    def test_iou_cartesian_rejected_at_config_time(self):
+        """The kind/rep incompatibility must surface at Config
+        construction with a clear message, not mid-trace (round-3
+        advisor)."""
+        from centerpoly_tpu.configs import Config
+        for kind in ("iou", "l1+iou"):
+            with pytest.raises(ValueError, match="polar"):
+                Config(task="polydet", dataset="cityscapes",
+                       poly_loss=kind, rep="cartesian")
+        # polar reps stay constructible
+        Config(task="polydet", dataset="cityscapes",
+               poly_loss="l1+iou", rep="polar")
+
 
 class TestOrderLoss:
     def test_unwrap(self):

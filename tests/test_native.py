@@ -139,3 +139,18 @@ class TestKittiEval:
         res = run_kitti_eval(str(gt_dir), str(res_dir))
         assert res["car"]["detection"][0] == pytest.approx(100.0, abs=1e-4)
         assert res["car"]["bev"][0] == pytest.approx(0.0, abs=1e-4)
+
+
+class TestEnsureBuiltGating:
+    def test_per_artifact_gating(self, tmp_path):
+        """The confusion-matrix .so must stay available when only the
+        kitti_eval binary is missing, and vice versa (round-3 advisor:
+        a partial build must not drop _load() to the numpy fallback)."""
+        from centerpoly_tpu.eval import native
+        if not ensure_built():
+            pytest.skip("native toolchain unavailable")
+        missing = str(tmp_path / "definitely_not_built")
+        assert ensure_built(artifacts=(native.LIB_PATH,))
+        assert ensure_built(artifacts=(native.KITTI_EVAL_BIN,))
+        assert not ensure_built(artifacts=(missing,))
+        assert not ensure_built(artifacts=(native.LIB_PATH, missing))

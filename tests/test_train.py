@@ -271,6 +271,16 @@ class TestFormulationSelection:
         monkeypatch.setenv("CENTERPOLY_DCN_FORMULATION", "quad")
         assert dc.resolve_formulation(1, 128, 256, 64, False) == "quad"
 
+    def test_typo_env_raises(self, monkeypatch):
+        """An explicit-but-mistyped selection must fail loudly, not
+        silently fall back to 'auto' (round-3 advisor)."""
+        import pytest
+        from centerpoly_tpu.models import deform_conv as dc
+        for bad in ("quad-tapwise", "rowband", "fussed"):
+            monkeypatch.setenv("CENTERPOLY_DCN_FORMULATION", bad)
+            with pytest.raises(ValueError, match="not a known"):
+                dc.resolve_formulation(1, 128, 256, 64, False)
+
     def test_measured_table_wins_over_heuristic(self, monkeypatch,
                                                 tmp_path):
         from centerpoly_tpu.models import deform_conv as dc
