@@ -15,3 +15,12 @@ from .gt_polygons import (
 )
 from .csv_coco import csv_to_coco, write_csv_row, CITYSCAPES_CATS
 from .polar import coco_poly_to_polar, cartesian_to_polar_flat
+from .analysis import (
+    eval_coco_results,
+    polygon_coverage,
+    simplify_masks,
+    visualize_results,
+    parse_training_log,
+    plot_training_log,
+    merge_coco_json,
+)

@@ -147,3 +147,105 @@ def visualize_results(results_json: str, img_dir: str, out_dir: str,
         cv2.imwrite(out_path, dbg.imgs["vis"])
         written.append(out_path)
     return written
+
+
+def parse_training_log(log_path: str):
+    """Parse a Logger log.txt into per-metric series
+    (ref src/tools/create_graphs_log.py, which slices the reference's
+    epoch lines by fixed offsets; here the trainer's `k v` pairs are
+    parsed by name so new loss terms need no tool change).
+
+    Returns (train, val): each {metric: [(epoch, value), ...]}.
+    Trainer lines (utils/logger.py prepends a timestamp):
+        <ts>: epoch N | n iters | Ts | loss 1.2 hm_loss 0.8 ...
+        <ts>: val   N | loss 1.3 ...
+    """
+    train: Dict[str, list] = {}
+    val: Dict[str, list] = {}
+    with open(log_path) as f:
+        for line in f:
+            line = line.strip()
+            # strip the logger timestamp prefix if present
+            for marker in ("epoch ", "val   ", "val "):
+                i = line.find(marker)
+                if i >= 0:
+                    line = line[i:]
+                    break
+            else:
+                continue
+            parts = [p.strip() for p in line.split("|")]
+            head = parts[0].split()
+            if len(head) < 2 or not head[1].isdigit():
+                continue
+            epoch = int(head[1])
+            dest = train if head[0] == "epoch" else val
+            kv = parts[-1].split()
+            if len(kv) < 2 or kv[0] == "AP":
+                continue
+            for k, v in zip(kv[0::2], kv[1::2]):
+                try:
+                    dest.setdefault(k, []).append((epoch, float(v)))
+                except ValueError:
+                    continue
+    return train, val
+
+
+def plot_training_log(log_path: str, out_prefix: str = "loss"):
+    """Plot train/val loss curves from a log.txt
+    (ref create_graphs_log.py writes loss_train.png / loss_valid.png).
+
+    Returns the list of files written; no-op (returns []) when
+    matplotlib is unavailable.
+    """
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return []
+    train, val = parse_training_log(log_path)
+    written = []
+    for series, tag in ((train, "train"), (val, "valid")):
+        if not series:
+            continue
+        plt.figure()
+        for k, pts in sorted(series.items()):
+            xs = [e for e, _ in pts]
+            ys = [v for _, v in pts]
+            plt.plot(xs, ys, label=k)
+        plt.xlabel("epoch")
+        plt.legend()
+        out = f"{out_prefix}_{tag}.png"
+        plt.savefig(out)
+        plt.close()
+        written.append(out)
+    return written
+
+
+def merge_coco_json(input_paths, output_path: str) -> Dict[str, int]:
+    """Merge COCO-format annotation files into one
+    (ref src/tools/merge_pascal_json.py: concatenates images, re-offsets
+    annotation ids; categories/type from the first file).
+
+    Returns {'images': n, 'annotations': n} of the merged file.
+    """
+    out: Dict[str, object] = {}
+    tot_anns = 0
+    for i, path in enumerate(input_paths):
+        with open(path) as f:
+            data = json.load(f)
+        if i == 0:
+            for key in ("images", "type", "annotations", "categories"):
+                if key in data:
+                    out[key] = data[key]
+        else:
+            out["images"] = list(out["images"]) + list(data["images"])
+            anns = data["annotations"]
+            for a in anns:
+                a["id"] += tot_anns
+            out["annotations"] = list(out["annotations"]) + list(anns)
+        tot_anns = len(out["annotations"])
+    with open(output_path, "w") as f:
+        json.dump(out, f)
+    return {"images": len(out["images"]),
+            "annotations": len(out["annotations"])}

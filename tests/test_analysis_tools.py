@@ -73,3 +73,55 @@ def test_visualize_results(tmp_path):
     assert len(written) == 1
     out = cv2.imread(written[0])
     assert out.sum() > 0
+
+
+class TestLogPlotAndMerge:
+    def test_parse_and_plot_training_log(self, tmp_path):
+        from centerpoly_tpu.tools import parse_training_log, \
+            plot_training_log
+        log = tmp_path / "log.txt"
+        log.write_text(
+            "2026-08-18-21-00: model dla_34: 18.54M parameters\n"
+            "2026-08-18-21-01: epoch 1 | 10 iters | 5.0s | "
+            "loss 10.5000 hm_loss 4.2000 poly_loss 6.3000\n"
+            "2026-08-18-21-02: val   1 | loss 11.0000 hm_loss 4.5000\n"
+            "2026-08-18-21-03: epoch 2 | 10 iters | 4.0s | "
+            "loss 9.0000 hm_loss 3.9000 poly_loss 5.1000\n"
+            "2026-08-18-21-04: val   2 | AP eval skipped: no gt\n")
+        train, val = parse_training_log(str(log))
+        assert [v for _, v in train["loss"]] == [10.5, 9.0]
+        assert [e for e, _ in train["loss"]] == [1, 2]
+        assert train["poly_loss"][1] == (2, 5.1)
+        assert val["loss"] == [(1, 11.0)]
+        import os
+        cwd = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            written = plot_training_log(str(log))
+        finally:
+            os.chdir(cwd)
+        assert sorted(os.path.basename(w) for w in written) == [
+            "loss_train.png", "loss_valid.png"]
+        for w in written:
+            assert (tmp_path / w).exists()
+
+    def test_merge_coco_json(self, tmp_path):
+        import json
+        from centerpoly_tpu.tools import merge_coco_json
+        a = {"images": [{"id": 1}], "type": "instances",
+             "annotations": [{"id": 1, "image_id": 1}],
+             "categories": [{"id": 1, "name": "car"}]}
+        b = {"images": [{"id": 2}],
+             "annotations": [{"id": 1, "image_id": 2},
+                             {"id": 2, "image_id": 2}]}
+        pa, pb = tmp_path / "a.json", tmp_path / "b.json"
+        pa.write_text(json.dumps(a))
+        pb.write_text(json.dumps(b))
+        out = tmp_path / "merged.json"
+        counts = merge_coco_json([str(pa), str(pb)], str(out))
+        assert counts == {"images": 2, "annotations": 3}
+        merged = json.loads(out.read_text())
+        # annotation ids re-offset so they stay unique (ref
+        # merge_pascal_json.py)
+        assert sorted(x["id"] for x in merged["annotations"]) == [1, 2, 3]
+        assert merged["categories"] == a["categories"]
