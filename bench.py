@@ -284,6 +284,30 @@ def main():
         print(f"# smallhourglass secondary metric skipped: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
 
+    # secondary: the KITTI config (BASELINE.md rows 4-6: 0.045 s/frame
+    # on ~1242x375 frames; our kitti_poly adapter warps to 512x1024 like
+    # the reference's dataset default).  Same DLA-34 program as the
+    # primary but a KITTI-shaped source frame, so it measures the warp +
+    # net at the other aspect ratio.  Guarded like smallhourglass.
+    try:
+        kitti_frame = jax.device_put(
+            (rng.rand(375, 1242, 3) * 255).astype(np.uint8))
+        ktrans, _ = det.pre_process_meta(375, 1242, 1.0)
+        ktrans_dev = jax.device_put(jnp.asarray(ktrans, jnp.float32))
+
+        kitti_s = measure_device_time(
+            scalar_pipeline,
+            (det.variables, kitti_frame, ktrans_dev, mean_dev, std_dev))
+        print(json.dumps({
+            "metric": "polydet_dla34_kitti_1242x375_device_time_per_frame",
+            "value": kitti_s,
+            "unit": "s/frame",
+            "vs_baseline": BASELINE_S / kitti_s,
+        }))
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"# kitti secondary metric skipped: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+
     # primary metric LAST (the driver parses the final JSON line)
     print(json.dumps({
         "metric": PRIMARY_METRIC,
