@@ -53,14 +53,19 @@ def _timing_line(ret) -> str:
 
 def run_video(detector, source: str, vis_thresh: float = 0.3,
               out_video: str | None = None, max_frames: int = 0,
-              show: bool = False, batch: int = 1) -> int:
+              show: bool = False, batch: int = 1,
+              stream: bool = False) -> int:
     """Reference demo.py:23-36 VideoCapture loop, headless-capable.
 
     source: "webcam" (device 0) or a video file path.  Returns the number
     of frames processed.  Stops at end-of-stream, esc (when --show), or
     after max_frames (>0).  batch > 1 (without --show) groups frames
     through Detector.run_batch — one compiled program per frame stack,
-    the way an offline transcode should feed a TPU.
+    the way an offline transcode should feed a TPU.  stream=True
+    pipelines single frames through Detector.run_stream instead
+    (dispatch of frame i+1 overlaps device execution of frame i):
+    batch throughput is still higher, but stream keeps single-frame
+    latency, which is what a live camera feed wants.
     """
     import cv2
 
@@ -110,6 +115,35 @@ def run_video(detector, source: str, vis_thresh: float = 0.3,
                     dt = time.perf_counter() - t0
                     print(f"frame {n}: {n / dt:.2f} img/s (wall)")
                     buf = []
+        elif stream and not show:
+            import time
+
+            def frames():
+                served = 0
+                while True:
+                    ok, img = cam.read()
+                    if not ok or img is None:
+                        return
+                    yield img
+                    served += 1
+                    if max_frames and served >= max_frames:
+                        return
+
+            t0 = time.perf_counter()
+            src = frames()
+            seen = []
+
+            def tee():
+                for img in src:
+                    seen.append(img)
+                    yield img
+
+            for results in detector.run_stream(tee()):
+                img = seen.pop(0)
+                emit(img, results)
+                n += 1
+                dt = time.perf_counter() - t0
+                print(f"frame {n}: {n / dt:.2f} img/s (wall, pipelined)")
         else:
             while True:
                 ok, img = cam.read()
@@ -155,6 +189,7 @@ def main(argv=None):
     save_overlay = _pop_flag(argv, "--save_overlay")
     show = _pop_flag(argv, "--show")
     out_video = _pop_opt(argv, "--out_video")
+    stream = _pop_flag(argv, "--stream")
     max_frames = int(_pop_opt(argv, "--max_frames", 0))
     demo_path = _pop_opt(argv, "--demo")
     cfg = Config.from_args(argv)
@@ -168,7 +203,7 @@ def main(argv=None):
             or os.path.splitext(demo_path)[1].lower() in VIDEO_EXTS):
         run_video(detector, demo_path, cfg.vis_thresh,
                   out_video=out_video, max_frames=max_frames, show=show,
-                  batch=max(1, cfg.eval_batch))
+                  batch=max(1, cfg.eval_batch), stream=stream)
         return
     if os.path.isdir(demo_path):
         files = [os.path.join(demo_path, f)

@@ -197,6 +197,79 @@ class BaseDetector:
     def _post(self, dets_host: np.ndarray, meta, scale: float):
         raise NotImplementedError
 
+    def _shrink_for_send(self, image, trans, h, w):
+        """Shrink on host before crossing the host->device link: when
+        the warp downsamples (f < 0.9), a cv2 resize first cuts
+        transferred bytes by 1/f^2 and the device warp becomes
+        ~identity-scale.  Returns (send_image, adjusted_trans)."""
+        f = float(np.sqrt(np.abs(
+            trans[0, 0] * trans[1, 1] - trans[0, 1] * trans[1, 0])))
+        if f >= 0.9:
+            return image, trans
+        try:
+            import cv2
+        except ImportError:
+            return image, trans
+        new_w = max(1, int(round(w * f)))
+        new_h = max(1, int(round(h * f)))
+        send = cv2.resize(image, (new_w, new_h),
+                          interpolation=cv2.INTER_LINEAR)
+        trans = trans.copy()
+        trans[:, :2] = trans[:, :2] * (w / new_w, h / new_h)
+        return send, trans
+
+    def _dispatch_scale(self, image: np.ndarray, scale: float):
+        """Dispatch pre+net+decode for one frame at one scale WITHOUT
+        fetching: returns (device_dets, meta).  jax dispatch is async,
+        so the caller can keep several frames in flight and only block
+        when it np.asarray()s the result."""
+        h, w = image.shape[:2]
+        trans, meta = self.pre_process_meta(h, w, scale)
+        # pre_process_meta's transform is defined on SCALED-image coords
+        # (see run()); fold the scale into the matrix
+        if scale != 1.0:
+            trans = trans.copy()
+            trans[:, :2] *= scale
+        send, trans = self._shrink_for_send(image, trans, h, w)
+        images = self._pre_jit(jnp.asarray(send), jnp.asarray(trans),
+                               self.mean, self.std,
+                               (meta["inp_h"], meta["inp_w"]))
+        _, dets = self._proc_jit(self.variables, images)
+        return dets, meta
+
+    def run_stream(self, frames, depth: int = 2):
+        """Pipelined single-stream serving: a generator that keeps up to
+        `depth` frames in flight on the device while the host
+        post-processes earlier ones.
+
+        Same results as run() per frame (all scales + merge), but
+        dispatch of frame i+1 overlaps device execution of frame i and
+        host post-processing of frame i-1 — the serial load->pre->net->
+        fetch->post chain of the reference's demo loop
+        (src/lib/detectors/base_detector.py:105-191) only pipelines here
+        because jax dispatch is asynchronous.  Debug views are not
+        rendered in stream mode.
+        """
+        from collections import deque
+
+        inflight: deque = deque()
+
+        def _finish(entry):
+            detections = []
+            for dets, meta, scale in entry:
+                dets_host = np.asarray(dets)   # the only blocking point
+                detections.append(self._post(dets_host, meta, scale))
+            return self.merge_outputs(detections)
+
+        for image in frames:
+            image = np.asarray(image)
+            inflight.append([
+                (*self._dispatch_scale(image, s), s) for s in self.scales])
+            if len(inflight) > max(1, depth):
+                yield _finish(inflight.popleft())
+        while inflight:
+            yield _finish(inflight.popleft())
+
     def run(self, image: np.ndarray) -> Dict:
         """Full pipeline on one HWC uint8/float image. Returns results +
         the reference's 7-stage timing dict."""
@@ -216,23 +289,7 @@ class BaseDetector:
             if scale != 1.0:
                 trans = trans.copy()
                 trans[:, :2] *= scale
-            # Shrink on host before crossing the host->device link: when the
-            # warp downsamples (f < 1), a cv2 resize first cuts transferred
-            # bytes by 1/f^2 and the device warp becomes ~identity-scale.
-            send = image
-            f = float(np.sqrt(np.abs(
-                trans[0, 0] * trans[1, 1] - trans[0, 1] * trans[1, 0])))
-            if f < 0.9:
-                try:
-                    import cv2
-                    new_w = max(1, int(round(w * f)))
-                    new_h = max(1, int(round(h * f)))
-                    send = cv2.resize(image, (new_w, new_h),
-                                      interpolation=cv2.INTER_LINEAR)
-                    trans = trans.copy()
-                    trans[:, :2] = trans[:, :2] * (w / new_w, h / new_h)
-                except ImportError:
-                    pass
+            send, trans = self._shrink_for_send(image, trans, h, w)
             img_dev = jnp.asarray(send)
             images = self._pre_jit(img_dev, jnp.asarray(trans),
                                    self.mean, self.std,

@@ -251,3 +251,60 @@ def test_demo_video_entry_batched(tmp_path, capsys):
         n += 1
     cap.release()
     assert n == 5
+
+
+def test_run_stream_matches_run():
+    """run_stream (pipelined dispatch, up to `depth` frames in flight)
+    must yield exactly run()'s merged results, in input order."""
+    import numpy as np
+    from centerpoly_tpu.configs import Config
+    from centerpoly_tpu.infer.detector import PolydetDetector
+
+    cfg = Config(task="polydet", dataset="cityscapes", arch="res_18",
+                 input_h=128, input_w=256)
+    det = PolydetDetector(cfg)
+    rng = np.random.RandomState(1)
+    frames = [(rng.rand(128, 256, 3) * 255).astype(np.uint8)
+              for _ in range(4)]
+    streamed = list(det.run_stream(iter(frames), depth=2))
+    assert len(streamed) == 4
+    for frame, got in zip(frames, streamed):
+        want = det.run(frame)["results"]
+        assert set(got) == set(want)
+        for j in want:
+            a, b = np.asarray(want[j]), np.asarray(got[j])
+            assert a.shape == b.shape
+            if a.size:
+                np.testing.assert_allclose(
+                    a[np.lexsort(a.T)], b[np.lexsort(b.T)], atol=1e-3)
+
+
+@pytest.mark.slow
+def test_demo_video_entry_stream(tmp_path, capsys):
+    """--stream pipelines video frames through run_stream; the annotated
+    output must still contain every frame, in order."""
+    cv2 = pytest.importorskip("cv2")
+    from centerpoly_tpu.infer.demo import main
+
+    src = str(tmp_path / "clip.avi")
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"MJPG"), 10.0,
+                        (128, 64))
+    rng = np.random.RandomState(0)
+    for _ in range(5):
+        w.write((rng.rand(64, 128, 3) * 255).astype(np.uint8))
+    w.release()
+
+    out_video = str(tmp_path / "clip_stream.avi")
+    main(["polydet", "--dataset", "cityscapes", "--arch", "res_18",
+          "--input_h", "64", "--input_w", "128", "--K", "8",
+          "--demo", src, "--out_video", out_video, "--max_frames", "4",
+          "--stream"])
+    out = capsys.readouterr().out
+    assert out.count("frame ") == 4
+    assert "pipelined" in out
+    cap = cv2.VideoCapture(out_video)
+    n = 0
+    while cap.read()[0]:
+        n += 1
+    cap.release()
+    assert n == 4
