@@ -129,7 +129,7 @@ def _prime_auto_table(timeout_s: float = 1500.0) -> None:
             [sys.executable,
              os.path.join(root, "experiments", "bench_dcn_variants.py"),
              "--batch", "1", "--dtype", "bfloat16", "--write_table",
-             "--variants", "xla_tapwise,xla_quad", "--no_floor"],
+             "--variants", "xla_tapwise,xla_quad,xla_duo", "--no_floor"],
             timeout=timeout_s, capture_output=True, text=True)
         sys.stderr.write(proc.stdout + proc.stderr)
         if proc.returncode != 0:

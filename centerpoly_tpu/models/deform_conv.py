@@ -25,12 +25,17 @@ are cross-tested (tests/test_train.py):
                          chunk per (pixel, tap) fetches all 4 bilinear
                          corners (the gather unit is chunk-rate-bound)
   deform_conv2d_quad_tapwise  quad chunks + per-tap checkpoint (training)
+  deform_conv2d_duo      duo-view pair gather: 2*Cin chunks, the midpoint
+                         of the chunk-size ladder (wins iff the gather
+                         unit's chunk-rate plateau ends at 256-512 B rows)
+  deform_conv2d_duo_tapwise   duo chunks + per-tap checkpoint (training)
   deform_conv2d_pairs    2*Cin lax.gather slices — kept as a tested
                          reference; lowers serially on this toolchain,
                          do not use in production
 
 Selection: CENTERPOLY_DCN_FORMULATION=auto|fused|tapwise|quad|
-quad_tapwise (auto picks tapwise for large shapes, fused otherwise).
+quad_tapwise|duo|duo_tapwise (auto: measured per-shape winner table,
+else tapwise for large shapes / fused otherwise).
 Two Pallas kernels exist in kernels/ (exact-gather: interpret-only on
 this Mosaic; halo: compiles on-chip, opt-in CENTERPOLY_PALLAS_DCN).
 """
@@ -460,6 +465,199 @@ def deform_conv2d_quad_tapwise(
     return out.astype(x.dtype)
 
 
+def _duo_views(x: jnp.ndarray):
+    """Two x-parity-strided copies of x whose 1x2 pixel pairs are
+    contiguous 2*Cin chunks.
+
+    View q holds pairs starting at cols ≡ q (mod 2); pair (b, y, x2) is
+    the 1x2 block at (y, 2*x2+q) laid out [c0, c1] along the last axis.
+    Returns the concatenated (ΣN_q, 2*Cin) operand plus per-view
+    (base, wq) Python-int tables (same no-fancy-index rule as
+    _quad_views).
+    """
+    b, h, w, c = x.shape
+    flats = []
+    tables = []
+    base = 0
+    for q in (0, 1):
+        wq = (w - q) // 2
+        v = x[:, :, q:q + 2 * wq, :].reshape(b * h * wq, 2 * c)
+        flats.append(v)
+        tables.append((base, wq))
+        base += b * h * wq
+    return jnp.concatenate(flats, axis=0), tables
+
+
+def deform_conv2d_duo(
+    x: jnp.ndarray,
+    offsets: jnp.ndarray,
+    masks: jnp.ndarray,
+    weights: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """deform_conv2d with TWO gathers per (pixel, tap): duo-view chunks.
+
+    The midpoint of the chunk-size ladder between the fused 4-corner
+    formulation (4 gathers of Cin) and quad (1 gather of 4*Cin): the two
+    x-corners of each bilinear row are one 2*Cin chunk (256 B at Cin=64
+    bf16), fetched once per row — 2x fewer chunks than fused.  If the
+    on-chip gather unit's chunk-rate plateau ends between 256 B and
+    512 B rows (experiments/probe_gather_rates.py measures this), duo
+    beats both neighbors; the shoot-out (bench_dcn_variants.py) decides.
+    Math identical to deform_conv2d.
+    """
+    b, h, w, cin = x.shape
+    cout = weights.shape[-1]
+    if w < 3:
+        return deform_conv2d(x, offsets, masks, weights, bias)
+
+    gy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    gx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ky = jnp.repeat(jnp.arange(-1, 2, dtype=jnp.float32), 3)  # (9,)
+    kx = jnp.tile(jnp.arange(-1, 2, dtype=jnp.float32), 3)    # (9,)
+
+    off = offsets.reshape(b, h, w, 9, 2).astype(jnp.float32)
+    sy = gy[None, :, :, None] + ky[None, None, None, :] + off[..., 0]
+    sx = gx[None, :, :, None] + kx[None, None, None, :] + off[..., 1]
+
+    y0f = jnp.floor(sy)
+    x0f = jnp.floor(sx)
+    fy = (sy - y0f)[..., None].astype(x.dtype)
+    fx = (sx - x0f)[..., None].astype(x.dtype)
+    y0 = y0f.astype(jnp.int32)
+    x0 = x0f.astype(jnp.int32)
+
+    operand, tables = _duo_views(x)
+    (base0, w0), (base1, w1) = tables
+
+    cx = jnp.clip(x0, 0, w - 2)
+    q = cx & 1
+    x2 = (cx - q) >> 1
+    bb = jnp.arange(b, dtype=jnp.int32)[:, None, None, None]
+    base = jnp.where(q == 0, base0, base1)
+    wq = jnp.where(q == 0, w0, w1)
+
+    dx0 = jnp.clip(x0 - cx, 0, 1)[..., None]
+    dx1 = jnp.clip(x0 + 1 - cx, 0, 1)[..., None]
+
+    def row(yi):
+        """Fetch the x-pair chunk on row yi; returns (left, right, inb_y)."""
+        yc = jnp.clip(yi, 0, h - 1)
+        idx = base + (bb * h + yc) * wq + x2          # (B,H,W,9)
+        chunk = jnp.take(operand, idx, axis=0)        # (B,H,W,9,2C)
+        c0 = chunk[..., :cin]
+        c1 = chunk[..., cin:]
+        return c0, c1, ((yi >= 0) & (yi < h))[..., None]
+
+    def pick(c0, c1, dx):
+        return jnp.where(dx == 0, c0, c1)
+
+    def inb_x(xi):
+        return ((xi >= 0) & (xi < w))[..., None]
+
+    t0, t1, iny0 = row(y0)
+    b0, b1, iny1 = row(y0 + 1)
+    v00 = jnp.where(iny0 & inb_x(x0), pick(t0, t1, dx0), 0)
+    v01 = jnp.where(iny0 & inb_x(x0 + 1), pick(t0, t1, dx1), 0)
+    v10 = jnp.where(iny1 & inb_x(x0), pick(b0, b1, dx0), 0)
+    v11 = jnp.where(iny1 & inb_x(x0 + 1), pick(b0, b1, dx1), 0)
+
+    sampled = (v00 * (1 - fy) * (1 - fx) + v01 * (1 - fy) * fx
+               + v10 * fy * (1 - fx) + v11 * fy * fx)
+    sampled = sampled * masks[..., None]
+
+    out = jnp.einsum(
+        "bhwkc,kco->bhwo",
+        sampled,
+        weights.reshape(9, cin, cout),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
+def deform_conv2d_duo_tapwise(
+    x: jnp.ndarray,
+    offsets: jnp.ndarray,
+    masks: jnp.ndarray,
+    weights: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Training-scale duo: duo-view pair gathers, one checkpointed tap at
+    a time (jax.checkpoint memory shape of deform_conv2d_tapwise, 2x
+    fewer gather/scatter chunks; see deform_conv2d_duo)."""
+    b, h, w, cin = x.shape
+    cout = weights.shape[-1]
+    if w < 3:
+        return deform_conv2d_tapwise(x, offsets, masks, weights, bias)
+
+    gy = jnp.arange(h, dtype=jnp.float32)[:, None]
+    gx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ky = jnp.repeat(jnp.arange(-1, 2, dtype=jnp.float32), 3)  # (9,)
+    kx = jnp.tile(jnp.arange(-1, 2, dtype=jnp.float32), 3)    # (9,)
+
+    off = offsets.reshape(b, h, w, 9, 2).astype(jnp.float32)
+    sy = jnp.moveaxis(gy[None, :, :, None] + ky[None, None, None, :]
+                      + off[..., 0], -1, 0)        # (9,B,H,W)
+    sx = jnp.moveaxis(gx[None, :, :, None] + kx[None, None, None, :]
+                      + off[..., 1], -1, 0)
+    wk = weights.reshape(9, cin, cout)
+
+    operand, tables = _duo_views(x)
+    (base0, w0), (base1, w1) = tables
+    bb = jnp.arange(b, dtype=jnp.int32)[:, None, None]
+
+    @jax.checkpoint
+    def tap_contrib(operand, tsy, tsx, tmk, twk):
+        y0f = jnp.floor(tsy)
+        x0f = jnp.floor(tsx)
+        fy = (tsy - y0f)[..., None].astype(x.dtype)
+        fx = (tsx - x0f)[..., None].astype(x.dtype)
+        y0 = y0f.astype(jnp.int32)
+        x0 = x0f.astype(jnp.int32)
+        cx = jnp.clip(x0, 0, w - 2)
+        q = cx & 1
+        x2 = (cx - q) >> 1
+        base = jnp.where(q == 0, base0, base1)
+        wq = jnp.where(q == 0, w0, w1)
+        dx0 = jnp.clip(x0 - cx, 0, 1)[..., None]
+        dx1 = jnp.clip(x0 + 1 - cx, 0, 1)[..., None]
+
+        def row(yi):
+            yc = jnp.clip(yi, 0, h - 1)
+            idx = base + (bb * h + yc) * wq + x2      # (B,H,W)
+            chunk = jnp.take(operand, idx, axis=0)    # (B,H,W,2C)
+            return (chunk[..., :cin], chunk[..., cin:],
+                    ((yi >= 0) & (yi < h))[..., None])
+
+        def inb_x(xi):
+            return ((xi >= 0) & (xi < w))[..., None]
+
+        t0, t1, iny0 = row(y0)
+        b0_, b1_, iny1 = row(y0 + 1)
+        s = (jnp.where(iny0 & inb_x(x0),
+                       jnp.where(dx0 == 0, t0, t1), 0) * (1 - fy) * (1 - fx)
+             + jnp.where(iny0 & inb_x(x0 + 1),
+                         jnp.where(dx1 == 0, t0, t1), 0) * (1 - fy) * fx
+             + jnp.where(iny1 & inb_x(x0),
+                         jnp.where(dx0 == 0, b0_, b1_), 0) * fy * (1 - fx)
+             + jnp.where(iny1 & inb_x(x0 + 1),
+                         jnp.where(dx1 == 0, b0_, b1_), 0) * fy * fx)
+        s = s * tmk[..., None]
+        return jax.lax.dot_general(
+            s.reshape(b * h * w, cin), twk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    out = tap_contrib(operand, sy[0], sx[0], masks[..., 0], wk[0])
+    for k in range(1, 9):
+        out = out + tap_contrib(operand, sy[k], sx[k], masks[..., k], wk[k])
+    out = out.reshape(b, h, w, cout)
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
 def deform_conv2d_tapwise(
     x: jnp.ndarray,
     offsets: jnp.ndarray,
@@ -612,7 +810,8 @@ def _auto_table():
             with open(path) as f:
                 raw = json.load(f)
             table = {k: v for k, v in raw.items() if v in (
-                "fused", "tapwise", "quad", "quad_tapwise")}
+                "fused", "tapwise", "quad", "quad_tapwise",
+                "duo", "duo_tapwise")}
         except (OSError, ValueError):
             pass
         _AUTO_TABLE = table
@@ -660,7 +859,8 @@ def resolve_formulation(b: int, h: int, w: int, cin: int,
             # at paper scale only the per-tap-checkpointed formulations
             # fit HBM, so coerce a measured winner to its tapwise
             # sibling rather than let a table hit reintroduce the OOM
-            hit = {"fused": "tapwise", "quad": "quad_tapwise"}.get(hit, hit)
+            hit = {"fused": "tapwise", "quad": "quad_tapwise",
+                   "duo": "duo_tapwise"}.get(hit, hit)
         return hit
     big = b * h * w * 9 * cin > (1 << 22)
     if big or need_remat:
@@ -732,6 +932,8 @@ FORMULATIONS.update({
     "tapwise": deform_conv2d_tapwise,
     "quad": deform_conv2d_quad,
     "quad_tapwise": deform_conv2d_quad_tapwise,
+    "duo": deform_conv2d_duo,
+    "duo_tapwise": deform_conv2d_duo_tapwise,
 })
 
 

@@ -36,7 +36,8 @@ def main():
                         "entries as train-time")
     p.add_argument("--variants", default=None,
                    help="comma-separated subset of xla_4corner,xla_quad,"
-                        "xla_tapwise,xla_quad_tapwise,pallas_halo to time "
+                        "xla_duo,xla_tapwise,xla_quad_tapwise,"
+                        "xla_duo_tapwise,pallas_halo to time "
                         "(default: all). bench.py's self-priming pre-step "
                         "uses xla_tapwise,xla_quad for a lean shoot-out")
     p.add_argument("--no_floor", action="store_true",
@@ -59,7 +60,8 @@ def main():
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
     from centerpoly_tpu.models.deform_conv import (
-        deform_conv2d, deform_conv2d_pairs, deform_conv2d_quad,
+        deform_conv2d, deform_conv2d_duo, deform_conv2d_duo_tapwise,
+        deform_conv2d_pairs, deform_conv2d_quad,
         deform_conv2d_quad_tapwise, deform_conv2d_tapwise)
     from centerpoly_tpu.utils.timing import measure_device_time
 
@@ -88,8 +90,10 @@ def main():
         variants = {
             "xla_4corner": lambda *a: deform_conv2d(*a),
             "xla_quad": lambda *a: deform_conv2d_quad(*a),
+            "xla_duo": lambda *a: deform_conv2d_duo(*a),
             "xla_tapwise": lambda *a: deform_conv2d_tapwise(*a),
             "xla_quad_tapwise": lambda *a: deform_conv2d_quad_tapwise(*a),
+            "xla_duo_tapwise": lambda *a: deform_conv2d_duo_tapwise(*a),
         }
         if os.environ.get("BENCH_PAIRS"):
             variants["xla_pairs"] = lambda *a: deform_conv2d_pairs(*a)
@@ -104,8 +108,9 @@ def main():
 
         if args.variants:
             keep = {v.strip() for v in args.variants.split(",") if v.strip()}
-            known = {"xla_4corner", "xla_quad", "xla_tapwise",
-                     "xla_quad_tapwise", "xla_pairs", "pallas_halo"}
+            known = {"xla_4corner", "xla_quad", "xla_duo",
+                     "xla_tapwise", "xla_quad_tapwise",
+                     "xla_duo_tapwise", "xla_pairs", "pallas_halo"}
             unknown = keep - known
             if unknown:
                 raise SystemExit(f"unknown --variants {sorted(unknown)}; "
@@ -168,8 +173,10 @@ def main():
                       flush=True)
                 continue
             xla_names = {"xla_4corner": "fused", "xla_quad": "quad",
+                         "xla_duo": "duo",
                          "xla_tapwise": "tapwise",
-                         "xla_quad_tapwise": "quad_tapwise"}
+                         "xla_quad_tapwise": "quad_tapwise",
+                         "xla_duo_tapwise": "duo_tapwise"}
             timed = [n for n in xla_names if f"{n}_ms" in row]
             if not timed:
                 continue

@@ -25,7 +25,7 @@ echo "=== 1. DCN formulation shoot-out -> auto table (inference shapes) ==="
 timeout 1800 python experiments/bench_dcn_variants.py --batch 1 --dtype bfloat16 --write_table
 
 echo "=== 2. full-pipeline A/B: tapwise vs quad vs auto(table) ==="
-for form in tapwise quad fused; do
+for form in tapwise quad duo fused; do
   echo "--- formulation=$form"
   CENTERPOLY_DCN_FORMULATION=$form timeout 1800 python experiments/profile_inference.py
 done

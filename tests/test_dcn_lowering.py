@@ -64,3 +64,19 @@ def test_quad_tapwise_grad_keeps_chunk_count():
     n_calls, chunks, px = _chunks(deform_conv2d_quad_tapwise, grad=True)
     assert n_calls == 9            # one take per checkpointed tap
     assert chunks == px * 9
+
+
+def test_duo_is_two_chunks_per_sample():
+    """The chunk-size-ladder midpoint: TWO takes (one per bilinear row),
+    B*H*W*9 chunks each — view tables must stay arithmetic selects."""
+    from centerpoly_tpu.models.deform_conv import deform_conv2d_duo
+    n_calls, chunks, px = _chunks(deform_conv2d_duo)
+    assert n_calls == 2, f"extra gathers crept into duo ({n_calls})"
+    assert chunks == 2 * px * 9
+
+
+def test_duo_tapwise_grad_keeps_chunk_count():
+    from centerpoly_tpu.models.deform_conv import deform_conv2d_duo_tapwise
+    n_calls, chunks, px = _chunks(deform_conv2d_duo_tapwise, grad=True)
+    assert n_calls == 18           # two takes per checkpointed tap
+    assert chunks == 2 * px * 9

@@ -222,6 +222,59 @@ class TestMixedPrecision:
             np.testing.assert_allclose(np.asarray(a), np.asarray(cg),
                                        rtol=1e-4, atol=1e-6)
 
+    def test_duo_dcn_matches_fused(self):
+        # duo-view pair-gather formulation (the 2*Cin midpoint of the
+        # chunk-size ladder): values bit-exact, grads equal, across
+        # odd/even widths and far out-of-image offsets
+        from centerpoly_tpu.models.deform_conv import (
+            deform_conv2d, deform_conv2d_duo)
+        rng = np.random.RandomState(4)
+        for (b, h, w, c, co), sc in [((2, 8, 10, 4, 6), 3),
+                                     ((1, 5, 7, 8, 3), 3),
+                                     ((1, 9, 11, 4, 2), 12),
+                                     ((2, 4, 4, 2, 2), 2),
+                                     ((1, 3, 3, 2, 2), 2)]:
+            x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+            off = jnp.asarray(rng.randn(b, h, w, 18) * sc, jnp.float32)
+            mask = jnp.asarray(rng.rand(b, h, w, 9), jnp.float32)
+            wt = jnp.asarray(rng.randn(3, 3, c, co) * 0.1, jnp.float32)
+            bs = jnp.asarray(rng.randn(co) * 0.1, jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(deform_conv2d(x, off, mask, wt, bs)),
+                np.asarray(deform_conv2d_duo(x, off, mask, wt, bs)),
+                rtol=1e-6, atol=1e-6)
+        f = lambda fn: lambda *a: jnp.sum(fn(*a) ** 2)
+        g1 = jax.grad(f(deform_conv2d), argnums=(0, 1, 2, 3))(
+            x, off, mask, wt, bs)
+        g2 = jax.grad(f(deform_conv2d_duo), argnums=(0, 1, 2, 3))(
+            x, off, mask, wt, bs)
+        for a, cg in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(cg),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_duo_tapwise_dcn_matches_fused(self):
+        from centerpoly_tpu.models.deform_conv import (
+            deform_conv2d, deform_conv2d_duo_tapwise)
+        rng = np.random.RandomState(5)
+        b, h, w, c, co = 2, 8, 10, 4, 6
+        x = jnp.asarray(rng.randn(b, h, w, c), jnp.float32)
+        off = jnp.asarray(rng.randn(b, h, w, 18) * 3, jnp.float32)
+        mask = jnp.asarray(rng.rand(b, h, w, 9), jnp.float32)
+        wt = jnp.asarray(rng.randn(3, 3, c, co) * 0.1, jnp.float32)
+        bs = jnp.asarray(rng.randn(co) * 0.1, jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(deform_conv2d(x, off, mask, wt, bs)),
+            np.asarray(deform_conv2d_duo_tapwise(x, off, mask, wt, bs)),
+            rtol=1e-5, atol=1e-6)
+        f = lambda fn: lambda *a: jnp.sum(fn(*a) ** 2)
+        g1 = jax.grad(f(deform_conv2d), argnums=(0, 1, 2, 3, 4))(
+            x, off, mask, wt, bs)
+        g2 = jax.grad(f(deform_conv2d_duo_tapwise),
+                      argnums=(0, 1, 2, 3, 4))(x, off, mask, wt, bs)
+        for a, cg in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(cg),
+                                       rtol=1e-4, atol=1e-6)
+
     def test_measure_device_time_scales(self):
         # scan-differencing must scale ~linearly with per-call work
         from centerpoly_tpu.utils.timing import measure_device_time
@@ -333,7 +386,7 @@ class TestFormulationSelection:
     def test_formulations_registry_complete(self):
         from centerpoly_tpu.models.deform_conv import FORMULATIONS
         assert set(FORMULATIONS) == {"fused", "tapwise", "quad",
-                                     "quad_tapwise"}
+                                     "quad_tapwise", "duo", "duo_tapwise"}
 
 
 class TestEvalStep:
