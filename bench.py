@@ -84,8 +84,9 @@ def ensure_backend(retries: int = 3, timeout_s: float = 120.0,
     backend never came up.  A slow success signals a flaky tunnel — the
     caller uses it to skip optional extras (auto-table priming) and go
     straight for the headline measurement."""
+    t0 = time.time()   # TOTAL elapsed, incl. failed attempts + backoff:
+    # a success after two 120 s hangs is still a flaky tunnel
     for attempt in range(retries):
-        t0 = time.time()
         if _backend_alive(timeout_s):
             return time.time() - t0
         print(f"# backend probe {attempt + 1}/{retries} failed "
@@ -100,7 +101,7 @@ def _prime_auto_table(timeout_s: float = 1500.0) -> None:
 
     When the formulation is `auto` and the measured per-shape winner
     table (experiments/dcn_auto_table.json) has no entries for the
-    b=1 inference shapes, run a LEAN tapwise-vs-quad shoot-out in a
+    b=1 inference shapes, run a LEAN tapwise/quad/duo shoot-out in a
     bounded subprocess to write them, so this bench's pipeline uses the
     measured winner even if the full experiment queue never ran on this
     chip (the tunnel was down for most of round 3).  Any failure or
@@ -123,7 +124,7 @@ def _prime_auto_table(timeout_s: float = 1500.0) -> None:
     if all(k in table for k in keys):
         return
     print("# auto table has no inference entries; priming with a "
-          "tapwise-vs-quad shoot-out (bounded)", file=sys.stderr)
+          "tapwise/quad/duo shoot-out (bounded)", file=sys.stderr)
     try:
         proc = subprocess.run(
             [sys.executable,

@@ -201,6 +201,14 @@ def main(argv=None):
         raise SystemExit("--demo <image|folder|video|webcam> is required")
     if (demo_path == "webcam"
             or os.path.splitext(demo_path)[1].lower() in VIDEO_EXTS):
+        if stream and show:
+            raise SystemExit("--stream is headless-only (pipelining has "
+                             "no frame to show until depth frames later); "
+                             "drop --show or --stream")
+        if stream and cfg.eval_batch > 1:
+            raise SystemExit("--stream and --eval_batch>1 are different "
+                             "serving modes (pipelined single-frame vs "
+                             "batched transcode); pick one")
         run_video(detector, demo_path, cfg.vis_thresh,
                   out_video=out_video, max_frames=max_frames, show=show,
                   batch=max(1, cfg.eval_batch), stream=stream)

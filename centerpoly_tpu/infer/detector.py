@@ -262,11 +262,11 @@ class BaseDetector:
             return self.merge_outputs(detections)
 
         for image in frames:
+            if len(inflight) >= max(1, depth):
+                yield _finish(inflight.popleft())
             image = np.asarray(image)
             inflight.append([
                 (*self._dispatch_scale(image, s), s) for s in self.scales])
-            if len(inflight) > max(1, depth):
-                yield _finish(inflight.popleft())
         while inflight:
             yield _finish(inflight.popleft())
 

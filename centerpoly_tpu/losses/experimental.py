@@ -262,9 +262,14 @@ def disk_loss_device(pred, mask, target, height: int, width: int,
     import jax
     import jax.numpy as jnp
 
+    # under polar_fixed only the PREDICTION uses the fixed angle table;
+    # GT rows store real (r, theta) and decode as raw polar (ref
+    # losses.py:261-272, mirrored in create_mask above)
+    gt_rep = "polar" if rep == "polar_fixed" else rep
+
     def one(prow, trow):
         pv = _rep_to_xy(prow[:-1], "cartesian")   # disks at RAW channel
-        gv = _rep_to_xy(trow[:-1], rep)           # pairs, like the ref
+        gv = _rep_to_xy(trow[:-1], gt_rep)        # pairs, like the ref
         off = jnp.asarray([width // 4, height // 4], prow.dtype)
         disks = soft_disks_mask(pv + off, jnp.abs(prow[-1]),
                                 height, width, tau)

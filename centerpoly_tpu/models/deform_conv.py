@@ -834,7 +834,7 @@ def resolve_formulation(b: int, h: int, w: int, cin: int,
     form = os.environ.get("CENTERPOLY_DCN_FORMULATION", "auto").lower()
     if form in FORMULATIONS:
         return form
-    if form != "auto":
+    if form not in ("auto", ""):   # empty = shell idiom for "unset"
         # a typo ('quad-tapwise', or 'rowband' which belongs to
         # CENTERPOLY_PALLAS_DCN) must not silently train/benchmark a
         # different formulation than the one explicitly asked for

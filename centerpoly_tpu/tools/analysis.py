@@ -224,27 +224,40 @@ def plot_training_log(log_path: str, out_prefix: str = "loss"):
 
 def merge_coco_json(input_paths, output_path: str) -> Dict[str, int]:
     """Merge COCO-format annotation files into one
-    (ref src/tools/merge_pascal_json.py: concatenates images, re-offsets
-    annotation ids; categories/type from the first file).
+    (ref src/tools/merge_pascal_json.py; categories/type come from the
+    first file).
+
+    Unlike the original's count-based offset (which collides for
+    non-contiguous annotation ids and silently keeps duplicate image
+    ids), both image and annotation ids are REASSIGNED sequentially and
+    every annotation's image_id is remapped through its own file's
+    image-id map — collision-free for any inputs.
 
     Returns {'images': n, 'annotations': n} of the merged file.
     """
-    out: Dict[str, object] = {}
-    tot_anns = 0
+    out: Dict[str, object] = {"images": [], "annotations": []}
+    next_img = 1
+    next_ann = 1
     for i, path in enumerate(input_paths):
         with open(path) as f:
             data = json.load(f)
         if i == 0:
-            for key in ("images", "type", "annotations", "categories"):
+            for key in ("type", "categories"):
                 if key in data:
                     out[key] = data[key]
-        else:
-            out["images"] = list(out["images"]) + list(data["images"])
-            anns = data["annotations"]
-            for a in anns:
-                a["id"] += tot_anns
-            out["annotations"] = list(out["annotations"]) + list(anns)
-        tot_anns = len(out["annotations"])
+        img_map = {}
+        for img in data.get("images", []):
+            img = dict(img)
+            img_map[img["id"]] = next_img
+            img["id"] = next_img
+            next_img += 1
+            out["images"].append(img)
+        for ann in data.get("annotations", []):
+            ann = dict(ann)
+            ann["id"] = next_ann
+            next_ann += 1
+            ann["image_id"] = img_map[ann["image_id"]]
+            out["annotations"].append(ann)
     with open(output_path, "w") as f:
         json.dump(out, f)
     return {"images": len(out["images"]),

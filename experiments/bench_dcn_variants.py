@@ -39,7 +39,7 @@ def main():
                         "xla_duo,xla_tapwise,xla_quad_tapwise,"
                         "xla_duo_tapwise,pallas_halo to time "
                         "(default: all). bench.py's self-priming pre-step "
-                        "uses xla_tapwise,xla_quad for a lean shoot-out")
+                        "uses xla_tapwise,xla_quad,xla_duo for a lean shoot-out")
     p.add_argument("--no_floor", action="store_true",
                    help="skip the plain-conv3x3 speed-of-light floor row "
                         "(saves 2 compiles/shape when only the table "

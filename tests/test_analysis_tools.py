@@ -106,14 +106,18 @@ class TestLogPlotAndMerge:
             assert (tmp_path / w).exists()
 
     def test_merge_coco_json(self, tmp_path):
+        """Colliding image ids and non-contiguous annotation ids (the
+        cases the reference's count-based offset breaks on) must merge
+        collision-free: ids reassigned, image_id refs remapped."""
         import json
         from centerpoly_tpu.tools import merge_coco_json
-        a = {"images": [{"id": 1}], "type": "instances",
-             "annotations": [{"id": 1, "image_id": 1}],
+        a = {"images": [{"id": 1, "file_name": "a.png"}],
+             "type": "instances",
+             "annotations": [{"id": 10, "image_id": 1}],
              "categories": [{"id": 1, "name": "car"}]}
-        b = {"images": [{"id": 2}],
-             "annotations": [{"id": 1, "image_id": 2},
-                             {"id": 2, "image_id": 2}]}
+        b = {"images": [{"id": 1, "file_name": "b.png"}],
+             "annotations": [{"id": 9, "image_id": 1},
+                             {"id": 11, "image_id": 1}]}
         pa, pb = tmp_path / "a.json", tmp_path / "b.json"
         pa.write_text(json.dumps(a))
         pb.write_text(json.dumps(b))
@@ -121,7 +125,11 @@ class TestLogPlotAndMerge:
         counts = merge_coco_json([str(pa), str(pb)], str(out))
         assert counts == {"images": 2, "annotations": 3}
         merged = json.loads(out.read_text())
-        # annotation ids re-offset so they stay unique (ref
-        # merge_pascal_json.py)
         assert sorted(x["id"] for x in merged["annotations"]) == [1, 2, 3]
+        assert sorted(x["id"] for x in merged["images"]) == [1, 2]
+        # b's annotations must point at b's (renumbered) image, not a's
+        by_name = {im["file_name"]: im["id"] for im in merged["images"]}
+        b_anns = [x for x in merged["annotations"]
+                  if x["image_id"] == by_name["b.png"]]
+        assert len(b_anns) == 2
         assert merged["categories"] == a["categories"]
