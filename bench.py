@@ -99,13 +99,14 @@ def ensure_backend(retries: int = 3, timeout_s: float = 120.0,
 def _prime_auto_table(timeout_s: float = 1500.0) -> None:
     """Self-priming DCN formulation selection.
 
-    When the formulation is `auto` and the measured per-shape winner
-    table (experiments/dcn_auto_table.json) has no entries for the
-    b=1 inference shapes, run a LEAN tapwise/quad/duo shoot-out in a
-    bounded subprocess to write them, so this bench's pipeline uses the
-    measured winner even if the full experiment queue never ran on this
-    chip (the tunnel was down for most of round 3).  Any failure or
-    timeout falls through to the static heuristic — never fatal.
+    When the formulation is `auto` and the measured winner table
+    (experiments/dcn_auto_table.json) has no entries for the b=1
+    inference shapes, run a bounded FULL-MODEL A/B (uniform formulation
+    across all DCN nodes — per-layer microbench mixing measured 63 ms
+    vs uniform duo's 35 ms on-chip in round 4) in a subprocess to write
+    them, so this bench's pipeline uses the measured winner even if the
+    full experiment queue never ran on this chip.  Any failure or
+    timeout falls through to the static heuristic (duo) — never fatal.
     """
     if os.environ.get(
             "CENTERPOLY_DCN_FORMULATION", "auto").lower() != "auto":
@@ -124,13 +125,12 @@ def _prime_auto_table(timeout_s: float = 1500.0) -> None:
     if all(k in table for k in keys):
         return
     print("# auto table has no inference entries; priming with a "
-          "tapwise/quad/duo shoot-out (bounded)", file=sys.stderr)
+          "full-model duo/quad/tapwise A/B (bounded)", file=sys.stderr)
     try:
         proc = subprocess.run(
             [sys.executable,
-             os.path.join(root, "experiments", "bench_dcn_variants.py"),
-             "--batch", "1", "--dtype", "bfloat16", "--write_table",
-             "--variants", "xla_tapwise,xla_quad,xla_duo", "--no_floor"],
+             os.path.join(root, "experiments", "profile_inference.py"),
+             "--ab_forms", "duo,quad,tapwise", "--write_table"],
             timeout=timeout_s, capture_output=True, text=True)
         sys.stderr.write(proc.stdout + proc.stderr)
         if proc.returncode != 0:

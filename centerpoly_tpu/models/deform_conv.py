@@ -788,13 +788,19 @@ FORMULATIONS = {}  # name -> callable; filled after the defs below
 
 
 def _auto_table():
-    """Measured per-shape winners (experiments/dcn_auto_table.json).
+    """Measured winners (experiments/dcn_auto_table.json).
 
-    experiments/bench_dcn_variants.py --write_table records the fastest
-    formulation per (batch, h, w, cin, train) class from honest
-    scan-differenced on-chip timing; `auto` consults it so production
-    selection is measurement-driven, not a static size threshold.
-    Entries key on "b,h,w,cin,train" with exact-match lookup.
+    Entries key on "b,h,w,cin,train" with exact-match lookup.  The
+    committed table is written from a FULL-MODEL A/B (one formulation
+    for every DCN node, experiments/profile_inference.py --ab_forms
+    --write_table), not from isolated per-shape microbenchmarks: the
+    round-4 on-chip A/B measured per-layer mixing (each shape using its
+    isolated-microbench winner) at 63.1 ms/frame on DLA-34 @ 512x1024
+    vs 35.0 ms for uniform `duo` — isolated-shape timings do not
+    transfer into the compiled full model, so selection must be
+    model-consistent.  bench_dcn_variants.py --write_table (per-shape)
+    remains available for kernel research but should not feed
+    production selection.
     """
     global _AUTO_TABLE
     if _AUTO_TABLE is None:
@@ -825,10 +831,13 @@ def resolve_formulation(b: int, h: int, w: int, cin: int,
                         train: bool) -> str:
     """Pick the DCN formulation for a shape.
 
-    Order: explicit CENTERPOLY_DCN_FORMULATION env > measured per-shape
-    winner from the auto table > static heuristic (tapwise for large
-    shapes / remat-needing training, fused for small ones — the
-    honestly-timed round-2 defaults).
+    Order: explicit CENTERPOLY_DCN_FORMULATION env > measured winner
+    from the auto table (written by a full-model A/B, see _auto_table)
+    > static heuristic.  The heuristic's inference default is `duo`:
+    the round-4 on-chip full-model A/B measured DLA-34 @ 512x1024 at
+    duo 35.0 ms / fused 39.3 / quad 40.6 / tapwise 61.1 ms per frame.
+    Remat-needing training shapes keep the per-tap-checkpointed family
+    (memory constraint, not a speed pick).
     """
     import os
     form = os.environ.get("CENTERPOLY_DCN_FORMULATION", "auto").lower()
@@ -862,10 +871,10 @@ def resolve_formulation(b: int, h: int, w: int, cin: int,
             hit = {"fused": "tapwise", "quad": "quad_tapwise",
                    "duo": "duo_tapwise"}.get(hit, hit)
         return hit
+    if need_remat:
+        return "duo_tapwise"
     big = b * h * w * 9 * cin > (1 << 22)
-    if big or need_remat:
-        return "tapwise"
-    return "fused"
+    return "duo" if big else "fused"
 
 
 def _parse_bounded_mode(prefix: str, default_r: int):
