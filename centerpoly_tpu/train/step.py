@@ -39,8 +39,19 @@ def loss_fn_for_task(task: str) -> Callable:
 
 def make_train_step(loss_cfg: PolydetLossConfig,
                     mesh: Mesh | None = None,
-                    loss_callable: Callable | None = None) -> Callable:
-    """Returns train_step(state, batch) -> (state, stats)."""
+                    loss_callable: Callable | None = None,
+                    grad_bucket: bool = False) -> Callable:
+    """Returns train_step(state, batch) -> (state, stats).
+
+    grad_bucket=True uses an explicit shard_map step whose gradients are
+    reduced by ONE flattened pmean instead of the ~one-collective-per-
+    parameter GSPMD emits for the pjit step.  Semantics shift to exactly
+    the reference DataParallel's (base_trainer.py:95: per-replica BN and
+    per-replica masked-mean losses, then a flat mean across replicas),
+    where the pjit path computes global-batch statistics.  Use it when
+    the mesh's collective latency dominates (many tiny gradient tensors
+    over DCN, or virtual CPU meshes on few cores).
+    """
     task_loss = loss_callable or polydet_loss
 
     def loss_fn(params, batch_stats, apply_fn, batch):
@@ -71,6 +82,38 @@ def make_train_step(loss_cfg: PolydetLossConfig,
 
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
+
+    if grad_bucket:
+        axis = mesh.axis_names[0]
+
+        def bucketed_step(state, batch):
+            grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+            (_, (stats, new_bs)), grads = grad_fn(
+                state.params, state.batch_stats, state.apply_fn, batch)
+            flat, treedef = jax.tree.flatten(grads)
+            # one rendezvous for the whole gradient: ravel every leaf
+            # into a single f32 vector, pmean once, split back
+            vec = jnp.concatenate(
+                [jnp.ravel(g).astype(jnp.float32) for g in flat])
+            vec = jax.lax.pmean(vec, axis)
+            off, merged = 0, []
+            for g in flat:
+                merged.append(vec[off:off + g.size]
+                              .reshape(g.shape).astype(g.dtype))
+                off += g.size
+            grads = jax.tree.unflatten(treedef, merged)
+            new_bs = jax.lax.pmean(new_bs, axis) if new_bs else new_bs
+            stats = jax.lax.pmean(stats, axis)
+            state = state.apply_gradients(grads)
+            state = state.replace(batch_stats=new_bs)
+            return state, stats
+
+        return jax.jit(
+            jax.shard_map(
+                bucketed_step, mesh=mesh,
+                in_specs=(P(), P(axis)), out_specs=(P(), P()),
+                check_vma=False),
+            donate_argnums=(0,))
 
     replicated = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P("data"))
