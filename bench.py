@@ -1,13 +1,21 @@
 """Benchmark: polydet on-device latency per 2048x1024 frame.
 
 Measures the same semantic span as the reference's published runtime
-(README.md: 0.045 s/frame on an RTX 2070, read off the detector stage
+(README.md:46: 0.045 s/frame on an RTX 2070, read off the detector stage
 timers base_detector.py:105-191 — image array in memory -> detections):
 here the whole span runs on one TPU chip as a single compiled program:
 
     uint8 2048x1024 frame (device-resident) -> affine warp + normalize
-    -> DLA-34 forward (bf16) -> sigmoid/peak-NMS/top-K polygon decode
+    -> backbone forward (bf16) -> sigmoid/peak-NMS/top-K polygon decode
     -> (K, 6+2N+1) detections
+
+PRIMARY METRIC = the PAPER CONFIG: `smallhourglass` (1-stack hourglass).
+Every experiment the reference publishes — cityscapes, polar, KITTI,
+IDD (reference experiments/*.sh, all `--arch smallhourglass`) — and
+therefore the published 0.045 s runtime AND the published AP rows are
+that architecture.  Comparing a DLA-34 runtime against a number
+published for smallhourglass (rounds 2-3 of this repo) was
+apples-to-oranges; DLA-34 remains a secondary metric below.
 
 TIMING SEMANTICS (measured on this axon harness 2026-08-17): device I/O
 is tunneled over a network; `block_until_ready` acknowledges DISPATCH,
@@ -19,12 +27,17 @@ data-dependent carry (so XLA can neither elide nor overlap iterations),
 fetching one scalar, and differencing k=1 vs k=17 so RTT and dispatch
 overhead cancel (centerpoly_tpu/utils/timing.py).
 
-METRIC HISTORY NOTE: round 1's primary metric (`device_pipeline_p50`,
-vs_baseline=151.9 in BENCH_r01.json) was measured with the fake
-block_until_ready fence above and was WITHDRAWN in round 2
-(experiments/RESULTS.md "honest reset"); it is NOT comparable with the
-scan-differenced `device_time_per_frame` reported from round 2 onward.
-Do not read r01 -> r02 as a regression.
+METRIC HISTORY (cross-round comparability):
+- r01 `device_pipeline_p50` (vs_baseline=151.9) used a fake
+  block_until_ready fence and was WITHDRAWN in round 2.
+- r02-r03 primary `polydet_dla34_2048x1024_device_time_per_frame`
+  (honest scan-differenced DLA-34; best measured 35.1 ms with the duo
+  DCN formulation).
+- r04+ primary `polydet_smallhourglass_2048x1024_device_time_per_frame`
+  (honest scan-differenced; the same-architecture comparison with the
+  published 0.045 s).  The r03->r04 vs_baseline jump is this metric
+  redefinition plus the model-level DCN selection fix, not a silent
+  speedup claim; both numbers are printed every run.
 
 IMPORTANT perf note for this TPU stack: every device array the compiled
 program needs is passed as a jit *argument* (variables, frame, transform,
@@ -52,8 +65,8 @@ import time
 
 import numpy as np
 
-BASELINE_S = 0.045  # reference README.md:9,46 (RTX 2070)
-PRIMARY_METRIC = "polydet_dla34_2048x1024_device_time_per_frame"
+BASELINE_S = 0.045  # reference README.md:9,46 (RTX 2070, smallhourglass)
+PRIMARY_METRIC = "polydet_smallhourglass_2048x1024_device_time_per_frame"
 
 _PROBE_CODE = (
     "import jax, jax.numpy as jnp;"
@@ -104,9 +117,10 @@ def _prime_auto_table(timeout_s: float = 1500.0) -> None:
     inference shapes, run a bounded FULL-MODEL A/B (uniform formulation
     across all DCN nodes — per-layer microbench mixing measured 63 ms
     vs uniform duo's 35 ms on-chip in round 4) in a subprocess to write
-    them, so this bench's pipeline uses the measured winner even if the
-    full experiment queue never ran on this chip.  Any failure or
-    timeout falls through to the static heuristic (duo) — never fatal.
+    them, so the DLA-34 secondary metric uses the measured winner even
+    if the full experiment queue never ran on this chip.  Any failure
+    or timeout falls through to the static heuristic (duo) — never
+    fatal.
     """
     if os.environ.get(
             "CENTERPOLY_DCN_FORMULATION", "auto").lower() != "auto":
@@ -120,8 +134,9 @@ def _prime_auto_table(timeout_s: float = 1500.0) -> None:
             table = json.load(f)
     except (OSError, ValueError):
         table = {}
-    # the three DLA-34 @512x1024 inference node shape classes (b=1)
-    keys = ["1,128,256,64,0", "1,64,128,128,0", "1,32,64,256,0"]
+    # the four DLA-34 @512x1024 inference node shape classes (b=1)
+    keys = ["1,128,256,64,0", "1,64,128,128,0", "1,32,64,256,0",
+            "1,16,32,512,0"]
     if all(k in table for k in keys):
         return
     print("# auto table has no inference entries; priming with a "
@@ -134,14 +149,25 @@ def _prime_auto_table(timeout_s: float = 1500.0) -> None:
             timeout=timeout_s, capture_output=True, text=True)
         sys.stderr.write(proc.stdout + proc.stderr)
         if proc.returncode != 0:
-            print("# shoot-out failed; using the static heuristic",
+            print("# A/B failed; using the static heuristic (duo)",
                   file=sys.stderr)
     except subprocess.TimeoutExpired:
-        print("# shoot-out timed out; using the static heuristic",
+        print("# A/B timed out; using the static heuristic (duo)",
               file=sys.stderr)
 
 
 def main():
+    """Supervisor: never imports jax itself.
+
+    The backend probe can succeed and the tunnel die one second later
+    (observed 2026-08-19); device work in THIS process would then hang
+    uninterruptibly in C++ and the driver would record a timeout
+    instead of a parseable result.  So the measurement runs in a child
+    process (_CENTERPOLY_BENCH_CHILD=1 re-exec of this file) under a
+    hard deadline; whatever metric lines the child managed to flush are
+    relayed, and on child timeout/crash the parent still ends with a
+    parseable error JSON line and exit 1.
+    """
     os.environ.setdefault(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -162,14 +188,58 @@ def main():
         }))
         sys.exit(1)
 
-    # self-priming is an optional extra: if even the tiny-jit probe took
-    # >30 s the tunnel is flaky/cold and the ~15 min shoot-out could eat
-    # the driver's whole bench window — spend it on the headline number
-    if probe_s <= 30.0:
-        _prime_auto_table(timeout_s=900.0)
-    else:
-        print(f"# backend probe took {probe_s:.0f}s; skipping auto-table "
-              f"priming to protect the measurement budget", file=sys.stderr)
+    deadline_s = float(os.environ.get("CENTERPOLY_BENCH_TIMEOUT", "1500"))
+    env = os.environ.copy()
+    env["_CENTERPOLY_BENCH_CHILD"] = "1"
+    env["_CENTERPOLY_BENCH_PROBE_S"] = f"{probe_s:.1f}"
+    env["PYTHONUNBUFFERED"] = "1"
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
+    try:
+        out, _ = proc.communicate(timeout=deadline_s)
+        sys.stdout.write(out or "")
+        if proc.returncode != 0:
+            print(json.dumps({
+                "metric": PRIMARY_METRIC, "value": None, "unit": "s/frame",
+                "vs_baseline": None,
+                "error": f"bench child exited rc={proc.returncode} "
+                         f"(tunnel died mid-measurement?)"}))
+            sys.exit(1)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out, _ = proc.communicate()
+        sys.stdout.write(out or "")   # relay any completed metric lines
+        # the child emits the primary line IMMEDIATELY after measuring
+        # it (before the secondaries): if it got that far, the headline
+        # exists — re-print it as the final line so the driver parses a
+        # real number even though later secondaries were cut
+        primary = None
+        for line in (out or "").splitlines():
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if (rec.get("metric") == PRIMARY_METRIC
+                    and rec.get("value") is not None):
+                primary = line
+        if primary is not None:
+            print(f"# child hit the {deadline_s:.0f}s deadline after the "
+                  f"primary was measured; secondaries were cut",
+                  file=sys.stderr)
+            print(primary)
+            return
+        print(json.dumps({
+            "metric": PRIMARY_METRIC, "value": None, "unit": "s/frame",
+            "vs_baseline": None,
+            "error": f"bench child hit the {deadline_s:.0f}s deadline "
+                     f"(tunnel likely died mid-measurement; probe was "
+                     f"{probe_s:.1f}s)"}))
+        sys.exit(1)
+
+
+def _measure():
+    probe_s = float(os.environ.get("_CENTERPOLY_BENCH_PROBE_S", "0"))
 
     import jax
     import jax.numpy as jnp
@@ -179,144 +249,167 @@ def main():
     from centerpoly_tpu.infer.detector import PolydetDetector
     from centerpoly_tpu.utils.timing import measure_device_time
 
-    cfg = Config(task="polydet", dataset="cityscapes", arch="dla_34",
-                 input_h=512, input_w=1024)
-    det = PolydetDetector(cfg)
-
     rng = np.random.RandomState(0)
     frame = jax.device_put((rng.rand(1024, 2048, 3) * 255).astype(np.uint8))
-    trans, _ = det.pre_process_meta(1024, 2048, 1.0)
+
+    def emit(metric, value, unit, vs):
+        print(json.dumps({"metric": metric, "value": value, "unit": unit,
+                          "vs_baseline": vs}), flush=True)
+
+    # ---- PRIMARY: the paper config (smallhourglass), measured FIRST so
+    # a flaky tunnel window is spent on the headline, printed LAST (the
+    # driver parses the final JSON line)
+    cfg_hg = Config(task="polydet", dataset="cityscapes",
+                    arch="smallhourglass", input_h=512, input_w=1024)
+    det_hg = PolydetDetector(cfg_hg)
+    trans, _ = det_hg.pre_process_meta(1024, 2048, 1.0)
     trans_dev = jax.device_put(jnp.asarray(trans, dtype=jnp.float32))
-    mean_dev = jax.device_put(jnp.asarray(cfg.mean, jnp.float32))
-    std_dev = jax.device_put(jnp.asarray(cfg.std, jnp.float32))
+    mean_dev = jax.device_put(jnp.asarray(cfg_hg.mean, jnp.float32))
+    std_dev = jax.device_put(jnp.asarray(cfg_hg.std, jnp.float32))
 
-    def scalar_pipeline(eps, variables, frame_u8, trans, mean, std):
-        img = warp_axis_aligned(frame_u8.astype(jnp.float32) + eps, trans,
-                                (cfg.input_h, cfg.input_w))
+    def scalar_hg(eps, variables, frame_u8, trans, mean, std):
+        img = warp_axis_aligned(frame_u8.astype(jnp.float32) + eps,
+                                trans, (cfg_hg.input_h, cfg_hg.input_w))
         img = ((img / 255.0 - mean) / std)[None]
-        _, dets = det._process_device(variables, img)
+        _, dets = det_hg._process_device(variables, img)
         return jnp.sum(dets.astype(jnp.float32))
 
-    device_s = measure_device_time(
-        scalar_pipeline,
-        (det.variables, frame, trans_dev, mean_dev, std_dev))
+    hg_s = measure_device_time(
+        scalar_hg, (det_hg.variables, frame, trans_dev, mean_dev, std_dev))
+    # checkpoint the headline NOW (it is re-printed as the final line
+    # below; the supervisor parent promotes this early copy to the
+    # final line if a later secondary hangs past the deadline)
+    emit(PRIMARY_METRIC, hg_s, "s/frame", BASELINE_S / hg_s)
 
-    # secondary: end-to-end wall latency for one frame including the
-    # tunnel round trip (dispatch + execute + fetch detections) — the
-    # number a REMOTE client of this chip would see; a co-located host
-    # pays the device time plus PCIe-scale copies only
-    def pipeline(variables, frame_u8, trans, mean, std):
-        img = warp_axis_aligned(frame_u8.astype(jnp.float32), trans,
-                                (cfg.input_h, cfg.input_w))
-        img = ((img / 255.0 - mean) / std)[None]
-        _, dets = det._process_device(variables, img)
-        return dets
-
-    fn = jax.jit(pipeline)
-    np.asarray(fn(det.variables, frame, trans_dev, mean_dev, std_dev))
-    fenced = []
-    for _ in range(10):
-        t0 = time.perf_counter()
-        np.asarray(fn(det.variables, frame, trans_dev, mean_dev, std_dev))
-        fenced.append(time.perf_counter() - t0)
-    fenced_p50 = float(np.median(fenced))
-    print(json.dumps({
-        "metric": "polydet_dla34_2048x1024_wall_with_tunnel_rtt_p50",
-        "value": fenced_p50,
-        "unit": "s/frame",
-        "vs_baseline": BASELINE_S / fenced_p50,
-    }))
-
-    # secondary: batched throughput — BASELINE.json's native metric is
-    # "2048x1024 frames/sec/chip"; a production server feeds the chip a
-    # same-shape frame stack through one compiled program
-    # (Detector.run_batch / reference src/test.py:47-85 prefetch eval).
-    # Honest device time via the same scan-differencing.
-    B = 8
-    frames = jax.device_put(
-        (rng.rand(B, 1024, 2048, 3) * 255).astype(np.uint8))
-
-    def scalar_batch(eps, variables, frames_u8, trans, mean, std):
-        warped = jax.vmap(lambda f: warp_axis_aligned(
-            f.astype(jnp.float32) + eps, trans,
-            (cfg.input_h, cfg.input_w)))(frames_u8)
-        x = (warped / 255.0 - mean) / std
-        _, dets = det._process_device(variables, x)
-        return jnp.sum(dets.astype(jnp.float32))
-
-    batch_s = measure_device_time(
-        scalar_batch, (det.variables, frames, trans_dev, mean_dev, std_dev))
-    frames_per_s = B / batch_s
-    print(json.dumps({
-        "metric": f"polydet_dla34_2048x1024_batch{B}_frames_per_s_per_chip",
-        "value": frames_per_s,
-        "unit": "frames/s/chip",
-        "vs_baseline": frames_per_s * BASELINE_S,
-    }))
-
-    # secondary: the PAPER config — smallhourglass (SURVEY §3.4; reference
-    # large_hourglass.py:438-462), a pure-conv trunk with no DCN sampling.
-    # Same semantic span (device-resident 2048x1024 frame -> detections).
-    # Guarded: a failure here must never cost the primary metric.
+    # secondary: wall latency incl. the tunnel round trip (dispatch +
+    # execute + fetch detections) — what a REMOTE client of this chip
+    # sees; a co-located host pays device time plus PCIe-scale copies
     try:
-        cfg_hg = Config(task="polydet", dataset="cityscapes",
-                        arch="smallhourglass", input_h=512, input_w=1024)
-        det_hg = PolydetDetector(cfg_hg)
-
-        def scalar_hg(eps, variables, frame_u8, trans, mean, std):
-            img = warp_axis_aligned(frame_u8.astype(jnp.float32) + eps,
-                                    trans, (cfg_hg.input_h, cfg_hg.input_w))
+        def pipeline_hg(variables, frame_u8, trans, mean, std):
+            img = warp_axis_aligned(frame_u8.astype(jnp.float32), trans,
+                                    (cfg_hg.input_h, cfg_hg.input_w))
             img = ((img / 255.0 - mean) / std)[None]
             _, dets = det_hg._process_device(variables, img)
+            return dets
+
+        fn = jax.jit(pipeline_hg)
+        np.asarray(fn(det_hg.variables, frame, trans_dev, mean_dev, std_dev))
+        fenced = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            np.asarray(fn(det_hg.variables, frame, trans_dev, mean_dev,
+                          std_dev))
+            fenced.append(time.perf_counter() - t0)
+        fenced_p50 = float(np.median(fenced))
+        emit("polydet_smallhourglass_2048x1024_wall_with_tunnel_rtt_p50",
+             fenced_p50, "s/frame", BASELINE_S / fenced_p50)
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"# wall-rtt secondary skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    # secondary: batched throughput on the paper config — BASELINE.json's
+    # native metric is "2048x1024 frames/sec/chip"; a production server
+    # feeds the chip a same-shape frame stack through one compiled
+    # program (Detector.run_batch / reference src/test.py:47-85).
+    try:
+        B = 8
+        frames = jax.device_put(
+            (rng.rand(B, 1024, 2048, 3) * 255).astype(np.uint8))
+
+        def scalar_hg_batch(eps, variables, frames_u8, trans, mean, std):
+            warped = jax.vmap(lambda f: warp_axis_aligned(
+                f.astype(jnp.float32) + eps, trans,
+                (cfg_hg.input_h, cfg_hg.input_w)))(frames_u8)
+            x = (warped / 255.0 - mean) / std
+            _, dets = det_hg._process_device(variables, x)
             return jnp.sum(dets.astype(jnp.float32))
 
-        hg_s = measure_device_time(
-            scalar_hg,
-            (det_hg.variables, frame, trans_dev, mean_dev, std_dev))
-        print(json.dumps({
-            "metric":
-                "polydet_smallhourglass_2048x1024_device_time_per_frame",
-            "value": hg_s,
-            "unit": "s/frame",
-            "vs_baseline": BASELINE_S / hg_s,
-        }))
-        del det_hg
+        batch_s = measure_device_time(
+            scalar_hg_batch,
+            (det_hg.variables, frames, trans_dev, mean_dev, std_dev))
+        fps = B / batch_s
+        emit(f"polydet_smallhourglass_2048x1024_batch{B}"
+             f"_frames_per_s_per_chip", fps, "frames/s/chip",
+             fps * BASELINE_S)
     except Exception as e:  # pragma: no cover - defensive
-        print(f"# smallhourglass secondary metric skipped: "
+        print(f"# smallhourglass batch secondary skipped: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
 
-    # secondary: the KITTI config (BASELINE.md rows 4-6: 0.045 s/frame
-    # on ~1242x375 frames; our kitti_poly adapter warps to 512x1024 like
-    # the reference's dataset default).  Same DLA-34 program as the
-    # primary but a KITTI-shaped source frame, so it measures the warp +
-    # net at the other aspect ratio.  Guarded like smallhourglass.
+    # secondary: KITTI-shaped source frame (README.md:47 row: 0.045 s,
+    # same smallhourglass arch; our kitti_poly adapter warps ~1242x375
+    # to the 512x1024 input like the reference's dataset default)
     try:
         kitti_frame = jax.device_put(
             (rng.rand(375, 1242, 3) * 255).astype(np.uint8))
-        ktrans, _ = det.pre_process_meta(375, 1242, 1.0)
+        ktrans, _ = det_hg.pre_process_meta(375, 1242, 1.0)
         ktrans_dev = jax.device_put(jnp.asarray(ktrans, jnp.float32))
-
         kitti_s = measure_device_time(
-            scalar_pipeline,
-            (det.variables, kitti_frame, ktrans_dev, mean_dev, std_dev))
-        print(json.dumps({
-            "metric": "polydet_dla34_kitti_1242x375_device_time_per_frame",
-            "value": kitti_s,
-            "unit": "s/frame",
-            "vs_baseline": BASELINE_S / kitti_s,
-        }))
+            scalar_hg,
+            (det_hg.variables, kitti_frame, ktrans_dev, mean_dev, std_dev))
+        emit("polydet_smallhourglass_kitti_1242x375_device_time_per_frame",
+             kitti_s, "s/frame", BASELINE_S / kitti_s)
     except Exception as e:  # pragma: no cover - defensive
-        print(f"# kitti secondary metric skipped: "
+        print(f"# kitti secondary skipped: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
+    del det_hg
+
+    # ---- secondary: DLA-34 (the r02-r03 primary; CenterNet's flagship
+    # arch, 18 DCNv2 nodes).  `auto` resolves the DCN formulation via
+    # the measured model-level table (duo); prime it if absent and the
+    # tunnel looks healthy.
+    try:
+        if probe_s <= 30.0:
+            _prime_auto_table(timeout_s=900.0)
+        else:
+            print(f"# backend probe took {probe_s:.0f}s; skipping "
+                  f"auto-table priming to protect the measurement budget",
+                  file=sys.stderr)
+
+        cfg = Config(task="polydet", dataset="cityscapes", arch="dla_34",
+                     input_h=512, input_w=1024)
+        det = PolydetDetector(cfg)
+
+        def scalar_dla(eps, variables, frame_u8, trans, mean, std):
+            img = warp_axis_aligned(frame_u8.astype(jnp.float32) + eps,
+                                    trans, (cfg.input_h, cfg.input_w))
+            img = ((img / 255.0 - mean) / std)[None]
+            _, dets = det._process_device(variables, img)
+            return jnp.sum(dets.astype(jnp.float32))
+
+        dla_s = measure_device_time(
+            scalar_dla, (det.variables, frame, trans_dev, mean_dev, std_dev))
+        emit("polydet_dla34_2048x1024_device_time_per_frame",
+             dla_s, "s/frame", BASELINE_S / dla_s)
+
+        B = 8
+        frames = jax.device_put(
+            (rng.rand(B, 1024, 2048, 3) * 255).astype(np.uint8))
+
+        def scalar_dla_batch(eps, variables, frames_u8, trans, mean, std):
+            warped = jax.vmap(lambda f: warp_axis_aligned(
+                f.astype(jnp.float32) + eps, trans,
+                (cfg.input_h, cfg.input_w)))(frames_u8)
+            x = (warped / 255.0 - mean) / std
+            _, dets = det._process_device(variables, x)
+            return jnp.sum(dets.astype(jnp.float32))
+
+        batch_s = measure_device_time(
+            scalar_dla_batch,
+            (det.variables, frames, trans_dev, mean_dev, std_dev))
+        fps = B / batch_s
+        emit(f"polydet_dla34_2048x1024_batch{B}_frames_per_s_per_chip",
+             fps, "frames/s/chip", fps * BASELINE_S)
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"# dla34 secondary metrics skipped: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
 
     # primary metric LAST (the driver parses the final JSON line)
-    print(json.dumps({
-        "metric": PRIMARY_METRIC,
-        "value": device_s,
-        "unit": "s/frame",
-        "vs_baseline": BASELINE_S / device_s,
-    }))
+    emit(PRIMARY_METRIC, hg_s, "s/frame", BASELINE_S / hg_s)
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("_CENTERPOLY_BENCH_CHILD"):
+        _measure()
+    else:
+        main()

@@ -80,11 +80,15 @@ def ab_full_model(args):
     winner = min(results, key=results.get)
     print(json.dumps({"ab_winner": winner}), flush=True)
     if args.write_table:
-        # the three DLA-34 DCN node shape classes at stride-4 inference
-        # (b=1); keep in sync with bench.py's priming key list
+        # the four DLA-34 DCN node shape classes at stride-4 inference
+        # (b=1; strides 4/8/16/32 with ch 64/128/256/512); kept in sync
+        # with bench.py's priming key list and regression-tested against
+        # an actual model trace (tests/test_train.py
+        # test_auto_table_keys_cover_dla34_inference)
         sh, sw = args.h // 4, args.w // 4
         keys = [f"1,{sh},{sw},64,0", f"1,{sh // 2},{sw // 2},128,0",
-                f"1,{sh // 4},{sw // 4},256,0"]
+                f"1,{sh // 4},{sw // 4},256,0",
+                f"1,{sh // 8},{sw // 8},512,0"]
         path = os.environ.get(
             "CENTERPOLY_DCN_AUTO_TABLE",
             os.path.join(os.path.dirname(os.path.abspath(__file__)),

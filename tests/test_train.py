@@ -426,6 +426,50 @@ class TestFormulationSelection:
         assert set(FORMULATIONS) == {"fused", "tapwise", "quad",
                                      "quad_tapwise", "duo", "duo_tapwise"}
 
+    @pytest.mark.slow
+    def test_auto_table_keys_cover_dla34_inference(self, monkeypatch):
+        """The committed dcn_auto_table.json keys (and the keys
+        profile_inference.py --write_table / bench.py priming write)
+        must be EXACTLY the shape classes resolve_formulation is asked
+        for when tracing DLA-34 at the 512x1024 inference config —
+        otherwise `auto` silently falls to the heuristic for some
+        layer and the model-level selection guarantee breaks."""
+        import json
+        import os
+        import jax
+        import jax.numpy as jnp
+        from centerpoly_tpu.configs import Config
+        from centerpoly_tpu.models import create_model
+        from centerpoly_tpu.models import deform_conv as dc
+
+        monkeypatch.delenv("CENTERPOLY_DCN_FORMULATION", raising=False)
+        seen = set()
+        orig = dc.resolve_formulation
+
+        def spy(b, h, w, cin, train):
+            seen.add(f"{b},{h},{w},{cin},{int(bool(train))}")
+            return orig(b, h, w, cin, train)
+
+        monkeypatch.setattr(dc, "resolve_formulation", spy)
+        cfg = Config(task="polydet", dataset="cityscapes", arch="dla_34",
+                     input_h=512, input_w=1024)
+        model = create_model(cfg.arch, cfg.heads, cfg.head_conv,
+                             dtype=jnp.bfloat16)
+        x = jnp.zeros((1, cfg.input_h, cfg.input_w, 3), jnp.float32)
+        variables = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), x, train=False))
+        jax.eval_shape(lambda v: model.apply(v, x, train=False), variables)
+
+        table_path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "experiments",
+            "dcn_auto_table.json")
+        with open(table_path) as f:
+            committed = set(json.load(f))
+        assert seen, "no DCN resolution happened during the trace"
+        assert seen == committed, (
+            f"trace queried {sorted(seen)} but the committed table has "
+            f"{sorted(committed)}")
+
 
 class TestEvalStep:
     def test_eval(self):
