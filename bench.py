@@ -195,47 +195,83 @@ def main():
     env["PYTHONUNBUFFERED"] = "1"
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__)], env=env,
-        stdout=subprocess.PIPE, stderr=sys.stderr, text=True)
-    try:
-        out, _ = proc.communicate(timeout=deadline_s)
-        sys.stdout.write(out or "")
-        if proc.returncode != 0:
+        stdout=subprocess.PIPE, stderr=None)  # stderr inherits
+
+    # Relay child lines LIVE under the deadline.  (communicate(timeout)
+    # + kill + communicate() LOSES the pre-timeout output — measured on
+    # this CPython — so a hang after the primary line would otherwise
+    # discard the already-measured headline.)  Raw os.read on the fd,
+    # not readline(): a buffered reader can hold lines that select()
+    # will never report readable again.
+    import selectors
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    deadline = time.time() + deadline_s
+    primary = None
+    timed_out = False
+    pending = b""
+
+    def _handle(raw_line: bytes):
+        nonlocal primary
+        line = raw_line.decode("utf-8", "replace")
+        sys.stdout.write(line + "\n")
+        sys.stdout.flush()
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            return
+        if (rec.get("metric") == PRIMARY_METRIC
+                and rec.get("value") is not None):
+            primary = line
+
+    eof = False
+    while not eof:
+        budget = deadline - time.time()
+        if budget <= 0:
+            timed_out = True
+            proc.kill()
+            break
+        if sel.select(timeout=min(budget, 5.0)):
+            chunk = os.read(proc.stdout.fileno(), 65536)
+            if not chunk:         # EOF: child finished (or died)
+                eof = True
+            else:
+                pending += chunk
+            while b"\n" in pending:
+                raw, pending = pending.split(b"\n", 1)
+                _handle(raw)
+    if pending.strip():           # unterminated final line
+        _handle(pending)
+    sel.close()
+    rc = proc.wait() if not timed_out else None
+
+    if not timed_out and rc == 0:
+        if primary is None:       # child exited clean but never emitted it
             print(json.dumps({
                 "metric": PRIMARY_METRIC, "value": None, "unit": "s/frame",
                 "vs_baseline": None,
-                "error": f"bench child exited rc={proc.returncode} "
-                         f"(tunnel died mid-measurement?)"}))
+                "error": "bench child exited 0 without a primary metric "
+                         "line"}))
             sys.exit(1)
-    except subprocess.TimeoutExpired:
-        proc.kill()
-        out, _ = proc.communicate()
-        sys.stdout.write(out or "")   # relay any completed metric lines
-        # the child emits the primary line IMMEDIATELY after measuring
-        # it (before the secondaries): if it got that far, the headline
-        # exists — re-print it as the final line so the driver parses a
-        # real number even though later secondaries were cut
-        primary = None
-        for line in (out or "").splitlines():
-            try:
-                rec = json.loads(line)
-            except ValueError:
-                continue
-            if (rec.get("metric") == PRIMARY_METRIC
-                    and rec.get("value") is not None):
-                primary = line
-        if primary is not None:
-            print(f"# child hit the {deadline_s:.0f}s deadline after the "
-                  f"primary was measured; secondaries were cut",
-                  file=sys.stderr)
-            print(primary)
-            return
-        print(json.dumps({
-            "metric": PRIMARY_METRIC, "value": None, "unit": "s/frame",
-            "vs_baseline": None,
-            "error": f"bench child hit the {deadline_s:.0f}s deadline "
-                     f"(tunnel likely died mid-measurement; probe was "
-                     f"{probe_s:.1f}s)"}))
-        sys.exit(1)
+        return                    # output already ends with the primary
+    if primary is not None:
+        # the child measured + flushed the headline before dying or
+        # hitting the deadline: promote it to the final line — a real
+        # number beats an error record
+        why = (f"hit the {deadline_s:.0f}s deadline"
+               if timed_out else f"exited rc={rc}")
+        print(f"# bench child {why} after the primary was measured; "
+              f"remaining secondaries were cut", file=sys.stderr)
+        print(primary)
+        return
+    print(json.dumps({
+        "metric": PRIMARY_METRIC, "value": None, "unit": "s/frame",
+        "vs_baseline": None,
+        "error": (f"bench child hit the {deadline_s:.0f}s deadline "
+                  if timed_out else f"bench child exited rc={rc} ")
+                 + f"(tunnel likely died mid-measurement; probe was "
+                   f"{probe_s:.1f}s)"}))
+    sys.exit(1)
 
 
 def _measure():

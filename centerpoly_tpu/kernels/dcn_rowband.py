@@ -97,8 +97,13 @@ def _rowband_kernel(band_ref, off_ref, mask_ref, w_ref, b_ref, o_ref,
     D = 2 * R + 4
     band = band_ref[0]                                   # (D*C, W)
     cdt = band.dtype
-    iota_j = jax.lax.broadcasted_iota(jnp.float32, (W, W), 0)
-    p_idx = jax.lax.broadcasted_iota(jnp.float32, (1, W), 1)
+    # Mosaic's tpu.iota only produces integer vectors (a float iota
+    # fails the MLIR verifier — measured on-chip 2026-08-19); build
+    # int32 and convert
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0).astype(
+        jnp.float32)
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(
+        jnp.float32)
     ky, kx = _tap_grid()
     acc = jnp.broadcast_to(b_ref[:].astype(jnp.float32), (Cout, W))
     for k in range(9):
@@ -150,8 +155,10 @@ def _rowband_bwd_kernel(band_ref, off_ref, gkm_ref, samp_ref, doff_ref,
     D = 2 * R + 4
     band = band_ref[0]                                   # (D*C, W)
     cdt = band.dtype
-    iota_j = jax.lax.broadcasted_iota(jnp.float32, (W, W), 0)
-    p_idx = jax.lax.broadcasted_iota(jnp.float32, (1, W), 1)
+    iota_j = jax.lax.broadcasted_iota(jnp.int32, (W, W), 0).astype(
+        jnp.float32)  # int iota then convert: Mosaic rejects float iota
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(
+        jnp.float32)
     ky, kx = _tap_grid()
     dband_s[:] = jnp.zeros((D * C, W), jnp.float32)
     for k in range(9):

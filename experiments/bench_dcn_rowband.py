@@ -53,6 +53,7 @@ def main():
 
     rng = np.random.RandomState(0)
     r = float(args.r)
+    any_compiled = False
     for (h, w, c, cout) in SHAPES[args.shapes]:
         x = jax.device_put(jnp.asarray(
             rng.randn(1, h, w, c), jnp.bfloat16))
@@ -78,6 +79,7 @@ def main():
             out_k = rb_fn(x, off, mk, wt, bs)
             jax.block_until_ready(out_k)
             row["rowband_compile_s"] = round(time.perf_counter() - t0, 1)
+            any_compiled = True
         except Exception as e:
             row["rowband_compile_s"] = None
             row["rowband_error"] = str(e).splitlines()[0][:200]
@@ -137,6 +139,11 @@ def main():
         except Exception as e:
             row["rowband_bwd_error"] = str(e).splitlines()[0][:200]
         print(json.dumps(row), flush=True)
+    if not any_compiled:
+        # every shape failed to compile: exit nonzero so the resumable
+        # queue does NOT mark this step done (it marked the 2026-08-19
+        # float-iota failure as done and skipped the retry)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -164,18 +164,25 @@ def main():
                measure_device_time(fwd, (det.variables, img)))
 
         if arch == "dla_34":
-            # trunk only (no DCN upsampling, no heads)
+            # trunk only (no DCN upsampling, no heads): DLASeg is
+            # nn.compact, so time its "base" DLA submodule directly
+            # with the sub-variables scoped to it
+            from centerpoly_tpu.models.dla import DLA
+            base_mod = DLA(dtype=det.model.dtype)
+            base_vars = {col: tree["base"]
+                         for col, tree in det.variables.items()
+                         if "base" in tree}
+
             def trunk(eps, variables, img):
-                feats = det.model.apply(variables, img + eps, train=False,
-                                        method=lambda m, x, train: m.trunk(
-                                            x, train))
+                feats = base_mod.apply(variables, img + eps, train=False)
                 return sum(jnp.sum(f.astype(jnp.float32)) for f in feats)
 
             try:
                 report("dla_34_trunk",
-                       measure_device_time(trunk, (det.variables, img)))
+                       measure_device_time(trunk, (base_vars, img)))
             except Exception as e:
-                print("trunk probe skipped:", type(e).__name__, flush=True)
+                print("trunk probe skipped:", type(e).__name__, e,
+                      flush=True)
 
         # full pipeline (warp + forward + decode) — the span comparable
         # to the reference's published 0.045 s/frame
