@@ -75,6 +75,13 @@ def main():
     }
     batch["hm"][:, 5, 5, 0] = 1.0
 
+    # device_put the batch ONCE: the step loop must time device compute,
+    # not re-transfer of the 50 MB host batch through the tunnel every
+    # dispatch (measured 2026-08-19: the same duo_tapwise config timed
+    # 0.075 s/step vs 0.024 s for its siblings purely on tunnel state;
+    # production input pipelines prefetch to device, so on-device inputs
+    # are the honest frames/s/chip contract)
+    batch = jax.device_put(batch)
     t0 = time.perf_counter()
     state, stats = step(state, batch)
     jax.block_until_ready(stats["loss"])

@@ -45,6 +45,18 @@ run 2v_auto_validate 1800 python experiments/profile_inference.py --archs dla_34
 # 3. rowband Pallas kernel: first-ever real-Mosaic compile + numerics + timing
 run 3_rowband 2400 python experiments/bench_dcn_rowband.py --r 4
 
+# 10. rowband FULL-MODEL A/B (uniform kernel for every supported DCN node:
+# per-layer mixing is falsified, see models/deform_conv.py _auto_table).
+# 10b: same uniform selection in the paper-scale train step — rowband's
+# fused Pallas backward has never run fwd+bwd at model scale.
+run 10_rowband_model 2400 CENTERPOLY_PALLAS_DCN=rowband:4 python experiments/profile_inference.py --archs dla_34
+run 10b_rowband_train 3000 CENTERPOLY_PALLAS_DCN=rowband:4 python experiments/bench_train_iou.py --arch dla_34 --batch 8 --dtype bfloat16 --steps 5
+
+# 11. clean duo_tapwise re-measure: the 12:53 run compiled through a
+# congested tunnel (830 s vs ~190 s neighbors) and its 0.0753 s/step is
+# 3x its quad_tapwise/tapwise siblings — re-measure with a warm cache
+run 11_train_duo_tapwise_rerun 3000 CENTERPOLY_DCN_FORMULATION=duo_tapwise python experiments/bench_train_iou.py --arch dla_34 --batch 8 --dtype bfloat16 --steps 5
+
 # 6. paper-scale training step A/B (b8 bf16, 5 steps each)
 run 6_train_duo_tapwise 3000 CENTERPOLY_DCN_FORMULATION=duo_tapwise python experiments/bench_train_iou.py --arch dla_34 --batch 8 --dtype bfloat16 --steps 5
 run 6_train_quad_tapwise 3000 CENTERPOLY_DCN_FORMULATION=quad_tapwise python experiments/bench_train_iou.py --arch dla_34 --batch 8 --dtype bfloat16 --steps 5
