@@ -12,7 +12,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -20,15 +19,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 import numpy as np
 
 
-def timeit(fn, *args, n=10):
-    import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+def timeit(fn, *args):
+    # scan-differenced on-device time: a dispatch loop +
+    # block_until_ready returned 0.03 ms for EVERY grad of an
+    # 8x128x256x64 DCN on 2026-08-19 — block_until_ready acknowledges
+    # dispatch, not execution, through the axon tunnel (see
+    # utils/timing.py and probe_timer_calibration.py).
+    from centerpoly_tpu.utils.timing import measure_device_time, scalarize
+    return measure_device_time(scalarize(fn), list(args),
+                               k_small=1, k_big=9, reps=3)
 
 
 def main():

@@ -83,15 +83,32 @@ def main():
     # are the honest frames/s/chip contract)
     batch = jax.device_put(batch)
     t0 = time.perf_counter()
-    state, stats = step(state, batch)
-    jax.block_until_ready(stats["loss"])
+    state0, stats = step(state, batch)
     compile_s = time.perf_counter() - t0
+    loss0 = float(stats["loss"])  # fetch = the only real fence on axon
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, stats = step(state, batch)
-    jax.block_until_ready(stats["loss"])
-    step_s = (time.perf_counter() - t0) / args.steps
+    # TIMING: scan-differenced on-device seconds per step.  A Python
+    # dispatch loop + block_until_ready measured 0.0051 s/step at "MFU
+    # 3.11" (impossible, >1.0) on 2026-08-19 because block_until_ready
+    # acknowledges DISPATCH, not execution, through the axon tunnel —
+    # probe_timer_calibration.py clocks that methodology at 66,000
+    # "TFLOP/s" on a 197-TFLOP/s chip.  measure_device_time runs the
+    # step k times inside one compiled scan with a data-dependent carry
+    # and differences two k values, so RTT and dispatch cancel.
+    from centerpoly_tpu.utils.timing import measure_device_time, scalarize
+
+    def one_step(inp):
+        # state0, not state: step donates argnum 0, so the pre-compile
+        # state's buffers are dead after the first call.  Fresh state
+        # each iteration is NOT what production does (state advances),
+        # but for steady-state cost the program is identical; scalarize
+        # sums every output leaf (params, opt state, stats) so the
+        # optimizer update cannot be dead-code-eliminated.
+        return step(state0, dict(batch, input=inp))
+
+    step_s = measure_device_time(
+        scalarize(one_step), [batch["input"]],
+        k_small=1, k_big=1 + args.steps, reps=3)
 
     # MFU: compiled-program flops / (step time * chip peak bf16)
     peak = {  # bf16 peak FLOP/s per chip by device kind
@@ -101,7 +118,7 @@ def main():
     peak_flops = next((v for k, v in peak.items() if k in kind), 197e12)
     mfu = None
     try:
-        ca = step.lower(state, batch).compile().cost_analysis()
+        ca = step.lower(state0, batch).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
@@ -120,7 +137,7 @@ def main():
         "frames_per_s": round(args.batch / step_s, 1),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "device_kind": jax.devices()[0].device_kind,
-        "loss": float(stats["loss"]),
+        "loss": loss0,
     }))
 
 
