@@ -440,6 +440,40 @@ def _measure():
         print(f"# dla34 secondary metrics skipped: "
               f"{type(e).__name__}: {e}", file=sys.stderr)
 
+    # ---- secondary: DLA-34 with the rowband Pallas DCN kernel (every
+    # DCN node on the MXU one-hot-matmul path, y-offsets banded to ±4).
+    # Opt-in semantics deviation from exact DCNv2, reported separately;
+    # measured 2026-08-19: 16.9 ms forward vs 35.1 ms for the best XLA
+    # formulation (RESULTS.md).  The env var is read at trace time, so
+    # a FRESH detector must be built under it.
+    prev_env = os.environ.get("CENTERPOLY_PALLAS_DCN")
+    try:
+        os.environ["CENTERPOLY_PALLAS_DCN"] = "rowband:4"
+        cfg_rb = Config(task="polydet", dataset="cityscapes",
+                        arch="dla_34", input_h=512, input_w=1024)
+        det_rb = PolydetDetector(cfg_rb)
+
+        def scalar_rb(eps, variables, frame_u8, trans, mean, std):
+            img = warp_axis_aligned(frame_u8.astype(jnp.float32) + eps,
+                                    trans, (cfg_rb.input_h, cfg_rb.input_w))
+            img = ((img / 255.0 - mean) / std)[None]
+            _, dets = det_rb._process_device(variables, img)
+            return jnp.sum(dets.astype(jnp.float32))
+
+        rb_s = measure_device_time(
+            scalar_rb, (det_rb.variables, frame, trans_dev, mean_dev,
+                        std_dev))
+        emit("polydet_dla34_rowband_2048x1024_device_time_per_frame",
+             rb_s, "s/frame", BASELINE_S / rb_s)
+    except Exception as e:  # pragma: no cover - defensive
+        print(f"# dla34 rowband secondary skipped: "
+              f"{type(e).__name__}: {e}", file=sys.stderr)
+    finally:
+        if prev_env is None:
+            os.environ.pop("CENTERPOLY_PALLAS_DCN", None)
+        else:
+            os.environ["CENTERPOLY_PALLAS_DCN"] = prev_env
+
     # primary metric LAST (the driver parses the final JSON line)
     emit(PRIMARY_METRIC, hg_s, "s/frame", BASELINE_S / hg_s)
 
