@@ -58,4 +58,11 @@ run 14_batch_rowband 2400 CENTERPOLY_PALLAS_DCN=rowband:4 python experiments/ben
 # 9b. refreshed bench.py: picks up the new dla34-rowband secondary
 run 9b_bench 2400 python bench.py
 
+# 15. AP-parity evidence for the rowband y-band: train the dla_34
+# rectangle fixture END-TO-END with every DCN node on the rowband
+# kernel (fused Pallas bwd in the real train loop) and score
+# non-oracle decode->rasterize->AP.  Exact-path reference from
+# RESULTS.md: AP50 0.879 @ 40 steps.
+run 15_rowband_convergence 3600 CENTERPOLY_PALLAS_DCN=rowband:4 python experiments/train_convergence.py --arch dla_34 --rep cartesian --poly_loss l1
+
 echo "=== QUEUE3 COMPLETE ==="
