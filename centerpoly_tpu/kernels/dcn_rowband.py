@@ -82,6 +82,45 @@ def _clamp_y(offsets, r: float):
     return jnp.stack([oy, ox], axis=-1).reshape(offsets.shape)
 
 
+def _pack_factor(z: int, w: int) -> int:
+    """Lane-packing factor: pack P = 128//w independent z-rows per grid
+    step when the image width underfills the 128-wide lane registers
+    (measured 2026-08-19: the un-packed kernel LOSES to XLA only at the
+    W=64 DLA shape, where every matmul runs at half lane occupancy).
+    P is halved until it divides the row count; CENTERPOLY_ROWBAND_PACK=0
+    is the A/B escape hatch."""
+    import os
+    if os.environ.get("CENTERPOLY_ROWBAND_PACK", "auto").lower() in (
+            "0", "off", "false"):
+        return 1
+    p = 1
+    while p * 2 * w <= 128:  # largest power of two with p*w <= 128
+        p *= 2
+    while p > 1 and z % p:
+        p //= 2
+    return p
+
+
+def _pack_lanes(a, p: int):
+    """(z, M, w) -> (z/p, M, p*w): the q-th of p consecutive z-rows
+    lands in lane half [q*w, (q+1)*w) of one packed row."""
+    if p == 1:
+        return a
+    z, m, w = a.shape
+    return a.reshape(z // p, p, m, w).transpose(0, 2, 1, 3).reshape(
+        z // p, m, p * w)
+
+
+def _unpack_lanes(a, p: int):
+    """Inverse of _pack_lanes: (z/p, M, p*w) -> (z, M, w)."""
+    if p == 1:
+        return a
+    zp, m, pw = a.shape
+    w = pw // p
+    return a.reshape(zp, m, p, w).transpose(0, 2, 1, 3).reshape(
+        zp * p, m, w)
+
+
 def deform_conv2d_rowband_ref(x, offsets, masks, weights, bias,
                               max_offset: int = DEFAULT_MAX_OFFSET):
     """jax-level oracle: XLA deform_conv2d on y-clamped offsets."""
@@ -91,9 +130,20 @@ def deform_conv2d_rowband_ref(x, offsets, masks, weights, bias,
 
 
 def _rowband_kernel(band_ref, off_ref, mask_ref, w_ref, b_ref, o_ref,
-                    *, C, Cout, W, R):
-    """One output row: 9 taps x (one MXU column-interp matmul +
-    a (2R+3)-chunk row-weighted reduce + the 3x3-tap contraction)."""
+                    *, C, Cout, W, WImg, R):
+    """P = W // WImg output rows (lane-packed): 9 taps x (one MXU
+    column-interp matmul + a (2R+3)-chunk row-weighted reduce + the
+    3x3-tap contraction).
+
+    Lane packing: when the image width WImg < 128, P independent
+    output rows share one grid step side by side on the lane axis
+    (W = P*WImg), so the B2 contraction and the tap matmul fill the
+    128-wide MXU instead of running P-fold more steps at 1/P lane
+    occupancy.  Each row's sample columns live in its own lane half
+    [q*WImg, (q+1)*WImg); the global iota makes sx land there
+    automatically, and `same` masks the two cross-half corner cases
+    (x0+1 crossing into the next half at the right edge, x0 crossing
+    below at the left edge) which must read as zero padding."""
     D = 2 * R + 4
     band = band_ref[0]                                   # (D*C, W)
     cdt = band.dtype
@@ -104,6 +154,10 @@ def _rowband_kernel(band_ref, off_ref, mask_ref, w_ref, b_ref, o_ref,
         jnp.float32)
     p_idx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(
         jnp.float32)
+    # same[j, p] = the j input column and p output pixel belong to the
+    # same packed row (always true when W == WImg)
+    same = (jnp.floor(iota_j / float(WImg))
+            == jnp.floor(p_idx / float(WImg))).astype(jnp.float32)
     ky, kx = _tap_grid()
     acc = jnp.broadcast_to(b_ref[:].astype(jnp.float32), (Cout, W))
     for k in range(9):
@@ -114,10 +168,11 @@ def _rowband_kernel(band_ref, off_ref, mask_ref, w_ref, b_ref, o_ref,
         x0 = jnp.floor(sx)
         fx = sx - x0
         # arithmetic one-hot interpolation: B2[j, p] = hat(sx[p] - j);
-        # out-of-image x corners drop out (no iota row equals them) —
-        # exact zero-pad semantics with NO x-offset bound
+        # out-of-image x corners drop out (no iota row equals them, or
+        # the cross-half `same` mask kills them) — exact zero-pad
+        # semantics with NO x-offset bound
         b2 = ((iota_j == x0).astype(jnp.float32) * (1.0 - fx)
-              + (iota_j == x0 + 1.0).astype(jnp.float32) * fx)
+              + (iota_j == x0 + 1.0).astype(jnp.float32) * fx) * same
         t = jax.lax.dot(band, b2.astype(cdt),
                         preferred_element_type=jnp.float32)  # (D*C, W)
         samp = jnp.zeros((C, W), jnp.float32)
@@ -133,7 +188,7 @@ def _rowband_kernel(band_ref, off_ref, mask_ref, w_ref, b_ref, o_ref,
 
 
 def _rowband_bwd_kernel(band_ref, off_ref, gkm_ref, samp_ref, doff_ref,
-                        dband_ref, dt_s, dband_s, *, C, W, R):
+                        dband_ref, dt_s, dband_s, *, C, W, WImg, R):
     """Fused backward for one output row.
 
     With T_k = band @ B2_k, samp_k = sum_du wy_du * T_k[duC:(du+1)C] and
@@ -159,6 +214,11 @@ def _rowband_bwd_kernel(band_ref, off_ref, gkm_ref, samp_ref, doff_ref,
         jnp.float32)  # int iota then convert: Mosaic rejects float iota
     p_idx = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1).astype(
         jnp.float32)
+    # lane-packing cross-half mask (see _rowband_kernel); pre-masking
+    # hit0/hit1 keeps b2 and the d/dsx difference (hit1 - hit0)
+    # consistent with the forward
+    same = (jnp.floor(iota_j / float(WImg))
+            == jnp.floor(p_idx / float(WImg))).astype(jnp.float32)
     ky, kx = _tap_grid()
     dband_s[:] = jnp.zeros((D * C, W), jnp.float32)
     for k in range(9):
@@ -168,8 +228,8 @@ def _rowband_bwd_kernel(band_ref, off_ref, gkm_ref, samp_ref, doff_ref,
         sx = p_idx + ox + kx[k]
         x0 = jnp.floor(sx)
         fx = sx - x0
-        hit0 = (iota_j == x0).astype(jnp.float32)
-        hit1 = (iota_j == x0 + 1.0).astype(jnp.float32)
+        hit0 = (iota_j == x0).astype(jnp.float32) * same
+        hit1 = (iota_j == x0 + 1.0).astype(jnp.float32) * same
         b2 = hit0 * (1.0 - fx) + hit1 * fx               # (W_j, W_p)
         t = jax.lax.dot(band, b2.astype(cdt),
                         preferred_element_type=jnp.float32)  # (D*C, W)
@@ -232,10 +292,12 @@ def _pallas_bwd(x, offsets, masks, weights, g, R, interpret=False):
     cout = weights.shape[-1]
     D = 2 * R + 4
     z = b * h
+    P = _pack_factor(z, w)
+    wp = P * w
     xt = jnp.transpose(x, (0, 1, 3, 2))
     xt = jnp.pad(xt, ((0, 0), (R + 1, R + 2), (0, 0), (0, 0)))
     band = jnp.concatenate([xt[:, d:d + h] for d in range(D)], axis=2)
-    band = band.reshape(z, D * c, w)
+    band = _pack_lanes(band.reshape(z, D * c, w), P)
     offt = jnp.transpose(offsets.astype(jnp.float32),
                          (0, 1, 3, 2)).reshape(z, 18, w)
     maskt = jnp.transpose(masks.astype(jnp.float32),
@@ -247,31 +309,34 @@ def _pallas_bwd(x, offsets, masks, weights, g, R, interpret=False):
     gk0 = jnp.einsum("kco,zop->zkcp", wk, gt)
     gkm = (gk0 * maskt[:, :, None, :]).reshape(z, 9 * c, w)
 
-    kern = functools.partial(_rowband_bwd_kernel, C=c, W=w, R=R)
+    kern = functools.partial(_rowband_bwd_kernel, C=c, W=wp, WImg=w, R=R)
     samp, dofft, dband = pl.pallas_call(
         kern,
-        grid=(z,),
+        grid=(z // P,),
         in_specs=[
-            pl.BlockSpec((1, D * c, w), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 18, w), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 9 * c, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, D * c, wp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 18, wp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 9 * c, wp), lambda i: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 9 * c, w), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 18, w), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, D * c, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 9 * c, wp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 18, wp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, D * c, wp), lambda i: (i, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((z, 9 * c, w), x.dtype),
-            jax.ShapeDtypeStruct((z, 18, w), jnp.float32),
-            jax.ShapeDtypeStruct((z, D * c, w), jnp.float32),
+            jax.ShapeDtypeStruct((z // P, 9 * c, wp), x.dtype),
+            jax.ShapeDtypeStruct((z // P, 18, wp), jnp.float32),
+            jax.ShapeDtypeStruct((z // P, D * c, wp), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((D * c, w), jnp.float32),
-                        pltpu.VMEM((D * c, w), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((D * c, wp), jnp.float32),
+                        pltpu.VMEM((D * c, wp), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
-    )(band, offt, gkm.astype(jnp.float32))
+    )(band, _pack_lanes(offt, P), _pack_lanes(gkm.astype(jnp.float32), P))
+    samp = _unpack_lanes(samp, P)
+    dofft = _unpack_lanes(dofft, P)
+    dband = _unpack_lanes(dband, P)
 
     # dx: adjoint of the band construction — D shifted slice-adds into
     # the padded rows, then crop and transpose back
@@ -312,37 +377,42 @@ def _pallas_fwd(x, offsets, masks, weights, bias, R, interpret=False):
     b, h, w, c = x.shape
     cout = weights.shape[-1]
     D = 2 * R + 4
-    if _fwd_vmem(c, cout, w, R, x.dtype.itemsize) > _VMEM_BUDGET:
+    z = b * h
+    P = _pack_factor(z, w)
+    wp = P * w
+    if _fwd_vmem(c, cout, wp, R, x.dtype.itemsize) > _VMEM_BUDGET:
         raise ValueError(f"rowband kernel: shape {(h, w, c, cout)} at "
                          f"R={R} exceeds VMEM budget")
     off = _clamp_y(offsets, float(R)).astype(jnp.float32)
     xt = jnp.transpose(x, (0, 1, 3, 2))                  # (B, H, C, W)
     xt = jnp.pad(xt, ((0, 0), (R + 1, R + 2), (0, 0), (0, 0)))
     band = jnp.concatenate([xt[:, d:d + h] for d in range(D)], axis=2)
-    band = band.reshape(b * h, D * c, w)
-    offt = jnp.transpose(off, (0, 1, 3, 2)).reshape(b * h, 18, w)
-    maskt = jnp.transpose(masks.astype(jnp.float32),
-                          (0, 1, 3, 2)).reshape(b * h, 9, w)
+    band = _pack_lanes(band.reshape(z, D * c, w), P)
+    offt = _pack_lanes(
+        jnp.transpose(off, (0, 1, 3, 2)).reshape(z, 18, w), P)
+    maskt = _pack_lanes(jnp.transpose(masks.astype(jnp.float32),
+                                      (0, 1, 3, 2)).reshape(z, 9, w), P)
     wts = jnp.transpose(weights.reshape(9, c, cout), (0, 2, 1))
-    kern = functools.partial(_rowband_kernel, C=c, Cout=cout, W=w, R=R)
+    kern = functools.partial(_rowband_kernel, C=c, Cout=cout, W=wp,
+                             WImg=w, R=R)
     out = pl.pallas_call(
         kern,
-        grid=(b * h,),
+        grid=(z // P,),
         in_specs=[
-            pl.BlockSpec((1, D * c, w), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 18, w), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 9, w), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, D * c, wp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 18, wp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 9, wp), lambda i: (i, 0, 0)),
             pl.BlockSpec((9, cout, c), lambda i: (0, 0, 0)),
             pl.BlockSpec((cout, 1), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, cout, w), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, cout, w), jnp.float32),
+        out_specs=pl.BlockSpec((1, cout, wp), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((z // P, cout, wp), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )(band, offt, maskt, wts,
       jnp.reshape(bias, (cout, 1)).astype(jnp.float32))
-    out = out.reshape(b, h, cout, w)
+    out = _unpack_lanes(out, P).reshape(b, h, cout, w)
     return jnp.transpose(out, (0, 1, 3, 2)).astype(x.dtype)
 
 
@@ -418,8 +488,9 @@ def rowband_supported(h: int, w: int, c: int, cout: int,
     dtype = jnp.dtype(dtype)
     key = (h, w, c, cout, max_offset, dtype.name)
     if key not in _ROWBAND_PROBED:
-        if max(_fwd_vmem(c, cout, w, max_offset, dtype.itemsize),
-               _bwd_vmem(c, cout, w, max_offset,
+        wp = _pack_factor(h, w) * w  # probe at the lane-packed width
+        if max(_fwd_vmem(c, cout, wp, max_offset, dtype.itemsize),
+               _bwd_vmem(c, cout, wp, max_offset,
                          dtype.itemsize)) > _VMEM_BUDGET:
             _ROWBAND_PROBED[key] = False
             return False

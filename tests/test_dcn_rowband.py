@@ -184,3 +184,75 @@ class TestInterpretNumerics:
         assert out.shape == (1, 4, 8, 24)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestLanePacking:
+    """P = 128//W lane packing (P rows per grid step) must be a pure
+    internal optimization: bit-identical outputs and grads vs the
+    forced-unpacked kernel, including the cross-half edge cases."""
+
+    def test_pack_factor(self):
+        from centerpoly_tpu.kernels.dcn_rowband import _pack_factor
+        assert _pack_factor(256, 128) == 1
+        assert _pack_factor(256, 64) == 2
+        assert _pack_factor(256, 32) == 4
+        assert _pack_factor(6, 64) == 2    # halved until it divides z
+        assert _pack_factor(5, 32) == 1
+        assert _pack_factor(256, 200) == 1
+
+    def test_pack_roundtrip(self):
+        from centerpoly_tpu.kernels.dcn_rowband import (_pack_lanes,
+                                                        _unpack_lanes)
+        a = jnp.arange(4 * 3 * 8, dtype=jnp.float32).reshape(4, 3, 8)
+        p = _pack_lanes(a, 2)
+        assert p.shape == (2, 3, 16)
+        # row q of each pair occupies lane half [q*8, (q+1)*8)
+        np.testing.assert_array_equal(np.asarray(p[0, :, :8]),
+                                      np.asarray(a[0]))
+        np.testing.assert_array_equal(np.asarray(p[0, :, 8:]),
+                                      np.asarray(a[1]))
+        np.testing.assert_array_equal(np.asarray(_unpack_lanes(p, 2)),
+                                      np.asarray(a))
+
+    @pytest.mark.parametrize("scale", [0.8, 3.0])
+    def test_packed_equals_unpacked(self, scale, monkeypatch):
+        # w=16 -> P=8 on the auto path; the edge pixels of every half
+        # exercise the cross-half corner masking
+        x, off, mask, wt, bias = _inputs(b=2, h=8, w=16, scale=scale)
+
+        def run():
+            return deform_conv2d_rowband(x, off, mask, wt, bias, 2, True)
+
+        def grads():
+            return jax.grad(
+                lambda *a: jnp.sum(
+                    deform_conv2d_rowband(*a, 2, True) ** 2),
+                argnums=(0, 1, 2, 3, 4))(x, off, mask, wt, bias)
+
+        out_p, g_p = run(), grads()
+        monkeypatch.setenv("CENTERPOLY_ROWBAND_PACK", "0")
+        out_u, g_u = run(), grads()
+        # packed contractions sum over 128 one-hot columns instead of
+        # 16 — a different f32 reduction order, so allclose not equal
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b in zip(g_p, g_u):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_packed_edge_offsets_zero_pad(self):
+        """x-offsets that push past the image edge must NOT read the
+        neighboring packed row's lanes (the `same` mask)."""
+        x, off, mask, wt, bias = _inputs(b=1, h=4, w=8, scale=0.0)
+        # +/- just past each edge: x0+1 lands in the next half for the
+        # rightmost pixel, x0 in the previous half for the leftmost
+        off = off.at[..., 1::2].set(7.6)   # right overrun
+        out = deform_conv2d_rowband(x, off, mask, wt, bias, 2, True)
+        ref = deform_conv2d_rowband_ref(x, off, mask, wt, bias, 2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+        off = off.at[..., 1::2].set(-7.6)  # left overrun
+        out = deform_conv2d_rowband(x, off, mask, wt, bias, 2, True)
+        ref = deform_conv2d_rowband_ref(x, off, mask, wt, bias, 2)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
