@@ -91,12 +91,17 @@ def _backend_alive(timeout_s: float = 120.0) -> bool:
         return False
 
 
-def ensure_backend(retries: int = 3, timeout_s: float = 120.0,
+def ensure_backend(retries: int = 3, timeout_s: float = None,
                    backoff_s: float = 30.0) -> "float | None":
     """Returns how long the successful probe took (s), or None if the
     backend never came up.  A slow success signals a flaky tunnel — the
     caller uses it to skip optional extras (auto-table priming) and go
     straight for the headline measurement."""
+    if timeout_s is None:
+        # measured 2026-08-19 (round 5): a healthy-but-cold tunnel takes
+        # ~116 s of device discovery, so the old 120 s probe cap
+        # misclassified it as dead; default high, env-tunable
+        timeout_s = float(os.environ.get("CENTERPOLY_PROBE_TIMEOUT", "240"))
     t0 = time.time()   # TOTAL elapsed, incl. failed attempts + backoff:
     # a success after two 120 s hangs is still a flaky tunnel
     for attempt in range(retries):

@@ -28,8 +28,14 @@ def main():
     p.add_argument("--halo_r", type=int, default=4)
     p.add_argument("--write_table", action="store_true",
                    help="record the fastest XLA formulation per shape "
-                        "into experiments/dcn_auto_table.json (consumed "
-                        "by models.deform_conv.resolve_formulation)")
+                        "into experiments/dcn_shape_table.json (RESEARCH "
+                        "output: per-shape isolated winners, which the "
+                        "round-4 full-model A/B measured at 63 ms vs "
+                        "uniform duo's 35 ms — they must NOT feed "
+                        "production selection; the production table "
+                        "dcn_auto_table.json is written only by the "
+                        "full-model A/B in profile_inference.py, or "
+                        "explicitly via CENTERPOLY_DCN_AUTO_TABLE)")
     p.add_argument("--train", action="store_true",
                    help="time the TRAINING step (fwd + full backward via "
                         "jax.grad) instead of the forward, and tag table "
@@ -184,7 +190,7 @@ def main():
             table_path = os.environ.get(
                 "CENTERPOLY_DCN_AUTO_TABLE",
                 os.path.join(os.path.dirname(
-                    os.path.abspath(__file__)), "dcn_auto_table.json"))
+                    os.path.abspath(__file__)), "dcn_shape_table.json"))
             try:
                 with open(table_path) as f:
                     table = json.load(f)

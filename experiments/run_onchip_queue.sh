@@ -8,8 +8,10 @@
 # window still produces the headline device-time number; rerun without
 # the flag when the window is long.
 #
-# Order matters: the auto-table write (step 1) changes what `auto`
-# selects in every later full-model run. Every step is individually
+# Step 1's per-shape shoot-out writes the RESEARCH table
+# (dcn_shape_table.json) only; the production auto table
+# (dcn_auto_table.json) is written exclusively by the full-model A/B
+# (profile_inference.py --write_table). Every step is individually
 # bounded so one hung run can't eat the session, and `alive` re-probes
 # the tunnel between steps so a mid-run tunnel death aborts the queue
 # in <2 min (exit 1) instead of burning every remaining step's cap —
@@ -32,9 +34,13 @@ gate() {  # abort the queue fast when the tunnel died mid-run
 echo "=== 0. tunnel sanity ==="
 alive || exit 1
 
-echo "=== 1. DCN formulation shoot-out -> auto table (inference shapes) ==="
-timeout 1800 python experiments/bench_dcn_variants.py --batch 1 --dtype bfloat16 --write_table
-gate
+echo "=== 1. DCN formulation shoot-out (research table only) ==="
+if [ "$QUICK" = "0" ]; then
+  timeout 1800 python experiments/bench_dcn_variants.py --batch 1 --dtype bfloat16 --write_table
+  gate
+else
+  echo "skipped in --quick mode (per-shape winners are research data)"
+fi
 
 echo "=== 2. full-pipeline A/B: tapwise vs quad vs duo vs auto(table) ==="
 for form in tapwise quad duo fused; do

@@ -232,13 +232,52 @@ class TestLanePacking:
         out_p, g_p = run(), grads()
         monkeypatch.setenv("CENTERPOLY_ROWBAND_PACK", "0")
         out_u, g_u = run(), grads()
-        # packed contractions sum over 128 one-hot columns instead of
-        # 16 — a different f32 reduction order, so allclose not equal
+        # Tolerance justification (diagnosed 2026-08-19, round 5): the
+        # packed contractions reduce over 128 lanes instead of 16 with
+        # different f32 partial-sum blocking; measured vs the oracle's
+        # autodiff, packed grads deviate <= 1.6e-4 ABSOLUTE (unpacked
+        # <= 6e-5 — same noise, different blocking), and the worst
+        # "relative" offenders are y-offset grads, which lane packing
+        # (an x-axis transform) cannot touch.  Genuine cross-half
+        # leakage would be O(1) absolute; test_packed_grads_match_oracle
+        # below pins that case at tight ABSOLUTE tolerance.  So: rtol
+        # loose (cancellation-prone elements), atol at 4x the measured
+        # noise ceiling.
         np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_u),
                                    rtol=1e-4, atol=1e-5)
         for a, b in zip(g_p, g_u):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-4, atol=1e-5)
+                                       rtol=2e-3, atol=6e-4)
+
+    def test_packed_grads_match_oracle_at_half_boundaries(self):
+        """Leak detector for the loosened packed-vs-unpacked tolerance
+        above: x-offsets crafted so sample columns cross packed lane
+        halves exactly (x0+1 into the next half at the right edge, x0
+        below at the left edge).  A cross-half leak of the exact-x
+        one-hot would be O(1) absolute in the output and grads; f32
+        reduction-order noise measured <= 1.6e-4 — assert ABSOLUTE
+        tolerance in between."""
+        x, off, mask, wt, bias = _inputs(b=2, h=8, w=16, scale=0.0)
+        off = off.at[..., 0::2].set(0.0)
+        off = off.at[..., 1::2].set(0.0)
+        off = off.at[:, :, 15, 1::2].set(0.6)   # right-edge crossing
+        off = off.at[:, :, 0, 1::2].set(-0.6)   # left-edge crossing
+        off = off.at[:, :, 14, 1::2].set(1.7)   # x0+1 == 16 for kx=0
+
+        def gr(fn):
+            return jax.grad(lambda *a: jnp.sum(fn(*a) ** 2),
+                            argnums=(0, 1, 2, 3, 4))(x, off, mask, wt,
+                                                     bias)
+
+        out_o = deform_conv2d_rowband_ref(x, off, mask, wt, bias, 2)
+        out_p = deform_conv2d_rowband(x, off, mask, wt, bias, 2, True)
+        np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_o),
+                                   rtol=0, atol=1e-3)
+        g_o = gr(lambda *a: deform_conv2d_rowband_ref(*a, 2))
+        g_p = gr(lambda *a: deform_conv2d_rowband(*a, 2, True))
+        for o, p in zip(g_o, g_p):
+            np.testing.assert_allclose(np.asarray(p), np.asarray(o),
+                                       rtol=0, atol=2e-3)
 
     def test_packed_edge_offsets_zero_pad(self):
         """x-offsets that push past the image edge must NOT read the
