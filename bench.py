@@ -161,6 +161,41 @@ def _prime_auto_table(timeout_s: float = 1500.0) -> None:
               file=sys.stderr)
 
 
+_LAST_RECORD_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "experiments", "last_onchip_bench.json")
+
+
+def _persist_record(rec: dict) -> None:
+    """Persist each successful on-chip primary measurement so a later
+    tunnel-down capture still carries evidence (3 rounds recorded only
+    `value: null` because the tunnel happened to be dead at the
+    driver's capture moment)."""
+    try:
+        rec = dict(rec)
+        rec["measured_at"] = time.strftime(
+            "%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        with open(_LAST_RECORD_PATH, "w") as f:
+            json.dump(rec, f)
+    except OSError:
+        pass
+
+
+def _emit_stale_record() -> None:
+    """On backend failure, surface the most recent persisted on-chip
+    measurement as a clearly-marked stale secondary (NOT the final
+    line — the final line stays the honest error record)."""
+    try:
+        with open(_LAST_RECORD_PATH) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return
+    rec["stale"] = True
+    rec["note"] = ("most recent successful on-chip measurement; the "
+                   "tunnel was down at THIS capture time")
+    print(json.dumps(rec))
+
+
 def main():
     """Supervisor: never imports jax itself.
 
@@ -181,6 +216,7 @@ def main():
 
     probe_s = ensure_backend()
     if probe_s is None:
+        _emit_stale_record()
         # final line is still a parseable JSON object for the driver
         print(json.dumps({
             "metric": PRIMARY_METRIC,
@@ -188,7 +224,7 @@ def main():
             "unit": "s/frame",
             "vs_baseline": None,
             "error": "TPU backend failed to initialize: tiny-jit probe "
-                     "subprocess hung/errored 3x over ~4 min (axon tunnel "
+                     "subprocess hung/errored 3x (axon tunnel "
                      "down; device discovery blocks forever)",
         }))
         sys.exit(1)
@@ -269,6 +305,7 @@ def main():
               f"remaining secondaries were cut", file=sys.stderr)
         print(primary)
         return
+    _emit_stale_record()
     print(json.dumps({
         "metric": PRIMARY_METRIC, "value": None, "unit": "s/frame",
         "vs_baseline": None,
@@ -319,8 +356,12 @@ def _measure():
         scalar_hg, (det_hg.variables, frame, trans_dev, mean_dev, std_dev))
     # checkpoint the headline NOW (it is re-printed as the final line
     # below; the supervisor parent promotes this early copy to the
-    # final line if a later secondary hangs past the deadline)
+    # final line if a later secondary hangs past the deadline), and
+    # persist it for the tunnel-down stale-evidence path
     emit(PRIMARY_METRIC, hg_s, "s/frame", BASELINE_S / hg_s)
+    _persist_record({"metric": PRIMARY_METRIC, "value": hg_s,
+                     "unit": "s/frame",
+                     "vs_baseline": BASELINE_S / hg_s})
 
     # secondary: wall latency incl. the tunnel round trip (dispatch +
     # execute + fetch detections) — what a REMOTE client of this chip

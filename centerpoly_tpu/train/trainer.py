@@ -220,6 +220,14 @@ class Trainer:
             results[int(m["img_id"])] = pp
         return results
 
+    def eval_variables(self):
+        """The current weights as an inference `variables` dict (what
+        create_detector / model.apply(train=False) consume)."""
+        variables = {"params": self.state.params}
+        if self.state.batch_stats:
+            variables["batch_stats"] = self.state.batch_stats
+        return variables
+
     def validate(self, epoch: int, save_dir: str):
         """Val loss + (polydet) decoded results -> instance AP when the
         dataset meta can evaluate.  Returns (val_loss, ap_or_None)."""

@@ -31,49 +31,20 @@ sys.path.insert(0, ROOT)
 N_DEVICES = 8
 
 
-def build_state_and_batch(n_devices):
-    """Identical construction to __graft_entry__.dryrun_multichip."""
-    import jax
-    import numpy as np
-    from centerpoly_tpu.configs import Config
-    from centerpoly_tpu.models import create_model
-    from centerpoly_tpu.train import create_train_state
-
-    cfg = Config(task="polydet", dataset="cityscapes", arch="dla_34",
-                 input_h=32, input_w=64, batch_size=n_devices)
-    cfg.max_objs = 8
-    model = create_model(cfg.arch, cfg.heads, cfg.head_conv)
-    state = create_train_state(
-        model, jax.random.PRNGKey(0),
-        (1, cfg.input_h, cfg.input_w, 3),
-        base_lr=cfg.lr, lr_steps=cfg.lr_step, steps_per_epoch=10,
-        fast_init=True)
-
-    b, k, n2 = n_devices, cfg.max_objs, cfg.nbr_points * 2
-    h, w = cfg.output_h, cfg.output_w
-    rng = np.random.RandomState(0)
-    batch = {
-        "input": rng.randn(b, cfg.input_h, cfg.input_w, 3).astype(np.float32),
-        "hm": np.zeros((b, h, w, cfg.num_classes), np.float32),
-        "reg_mask": (rng.rand(b, k) > 0.5).astype(np.float32),
-        "ind": rng.randint(0, h * w, (b, k)).astype(np.int32),
-        "poly": rng.randn(b, k, n2).astype(np.float32),
-        "pseudo_depth": rng.rand(b, k, 1).astype(np.float32),
-        "reg": rng.rand(b, k, 2).astype(np.float32),
-    }
-    batch["hm"][:, min(5, h - 1), min(5, w - 1), 0] = 1.0
-    return cfg, state, batch
-
-
 def main():
     import jax
+    # the axon sitecustomize force-registers the remote-TPU backend in
+    # every process; this exporter must never touch the tunnel
+    jax.config.update("jax_platforms", "cpu")
     from centerpoly_tpu.losses import PolydetLossConfig
     from centerpoly_tpu.train import make_train_step, make_mesh
+    from __graft_entry__ import (_build_dryrun_state_and_batch,
+                                 dryrun_source_hash)
 
     assert len(jax.devices()) >= N_DEVICES, (
         f"need {N_DEVICES} devices, run under the canonical child env")
 
-    cfg, state, batch = build_state_and_batch(N_DEVICES)
+    cfg, state, batch = _build_dryrun_state_and_batch(N_DEVICES)
     mesh = make_mesh(N_DEVICES)
     loss_cfg = PolydetLossConfig(
         rep=cfg.rep, poly_loss=cfg.poly_loss, poly_order=cfg.poly_order)
@@ -107,6 +78,10 @@ def main():
         "state_leaves": [[list(x.shape), str(x.dtype)] for x in flat_state],
         "batch_leaves": [[list(x.shape), str(x.dtype)] for x in flat_batch],
         "jax_version": jax.__version__,
+        # binds the blob to the source it was traced from: the replay
+        # re-computes this and traces live on mismatch
+        # (tests/test_graft_entry.py keeps it honest in CI)
+        "source_hash": dryrun_source_hash(),
     }
     out_blob = os.path.join(HERE, f"dryrun_step_{N_DEVICES}.jaxexport")
     out_json = os.path.join(HERE, f"dryrun_step_{N_DEVICES}.json")

@@ -25,7 +25,7 @@ export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 
 alive() {
-  timeout 120 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); print('alive', float((x@x)[0,0]))"
+  timeout 240 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); print('alive', float((x@x)[0,0]))"
 }
 gate() {  # abort the queue fast when the tunnel died mid-run
   alive || { echo "=== TUNNEL LOST - aborting queue ==="; exit 1; }

@@ -20,7 +20,7 @@ MARKERS=${MARKERS:-/tmp/onchip_r4_done}
 mkdir -p "$MARKERS"
 
 alive() {
-  timeout 120 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); print('alive', float((x@x)[0,0]))"
+  timeout 240 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); print('alive', float((x@x)[0,0]))"
 }
 gate() {
   alive || { echo "=== TUNNEL LOST - aborting queue (markers kept) ==="; exit 1; }

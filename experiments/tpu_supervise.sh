@@ -10,6 +10,10 @@
 # retries cheap.  Stops after the full queue completes or MAX_ROUNDS
 # tunnel windows have been tried.
 cd "$(dirname "$0")/.."
+# register for stop_watchers.sh (round-end hygiene: supervisors must not
+# outlive the round; pid-addressed shutdown, never pattern-killed)
+echo $$ >> /tmp/centerpoly_watchers.pids
+trap 'sed -i "/^$$\$/d" /tmp/centerpoly_watchers.pids 2>/dev/null' EXIT
 MAX_ROUNDS=${MAX_ROUNDS:-12}
 QUICK_DONE=0
 for round in $(seq 1 "$MAX_ROUNDS"); do

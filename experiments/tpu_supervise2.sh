@@ -8,6 +8,10 @@
 # Unlike tpu_supervise.sh, a mid-run tunnel death costs only the step
 # that was interrupted, not the whole queue.
 cd "$(dirname "$0")/.."
+# register for stop_watchers.sh (round-end hygiene: supervisors must not
+# outlive the round; pid-addressed shutdown, never pattern-killed)
+echo $$ >> /tmp/centerpoly_watchers.pids
+trap 'sed -i "/^$$\$/d" /tmp/centerpoly_watchers.pids 2>/dev/null' EXIT
 MAX_ROUNDS=${MAX_ROUNDS:-12}
 for round in $(seq 1 "$MAX_ROUNDS"); do
   echo "### supervisor2 round $round/$MAX_ROUNDS $(date -u)"

@@ -6,6 +6,10 @@
 # Loop: block until the tunnel answers (tpu_watch.sh), run queue3 —
 # which skips every step already marked done — until it completes.
 cd "$(dirname "$0")/.."
+# register for stop_watchers.sh (round-end hygiene: supervisors must not
+# outlive the round; pid-addressed shutdown, never pattern-killed)
+echo $$ >> /tmp/centerpoly_watchers.pids
+trap 'sed -i "/^$$\$/d" /tmp/centerpoly_watchers.pids 2>/dev/null' EXIT
 MAX_ROUNDS=${MAX_ROUNDS:-12}
 for round in $(seq 1 "$MAX_ROUNDS"); do
   echo "### supervisor3 round $round/$MAX_ROUNDS $(date -u)"

@@ -7,6 +7,10 @@
 #     do sleep 60; done; bash experiments/tpu_supervise4.sh' \
 #     > /tmp/onchip_r4e.log 2>&1 &
 cd "$(dirname "$0")/.."
+# register for stop_watchers.sh (round-end hygiene: supervisors must not
+# outlive the round; pid-addressed shutdown, never pattern-killed)
+echo $$ >> /tmp/centerpoly_watchers.pids
+trap 'sed -i "/^$$\$/d" /tmp/centerpoly_watchers.pids 2>/dev/null' EXIT
 MAX_ROUNDS=${MAX_ROUNDS:-12}
 for round in $(seq 1 "$MAX_ROUNDS"); do
   echo "### supervisor4 round $round/$MAX_ROUNDS $(date -u)"

@@ -8,10 +8,11 @@
 #
 # Each probe is a bounded SUBPROCESS: on a dead tunnel `import jax`
 # blocks forever inside C++ device discovery, so the probe must be
-# killable from outside.
+# killable from outside.  240 s cap: a healthy-but-cold tunnel
+# measures ~116 s of device discovery (2026-08-19); 90 s misread it as dead.
 cd "$(dirname "$0")/.."
 while true; do
-  if timeout 90 python -c "import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); print('alive', float((x @ x)[0, 0]))"; then
+  if timeout 240 python -c "import jax, jax.numpy as jnp; x = jnp.ones((128, 128)); print('alive', float((x @ x)[0, 0]))"; then
     echo "tunnel up $(date -u)"
     exit 0
   fi

@@ -86,7 +86,7 @@ def make_dataset(root: str, n_images: int, seed: int, h: int, w: int):
 def run(arch="res_18", rep="cartesian", poly_loss="l1", epochs=60,
         n_images=8, input_h=128, input_w=256, batch_size=4, lr=2.5e-4,
         bar=0.5, seed=0, root=None, val_every=10, poly_order=False,
-        log=print):
+        eval_dcn=None, offset_r=None, log=print):
     import numpy as np
     from centerpoly_tpu.configs import Config
     from centerpoly_tpu.data import (CocoPolyAnnotations, PolydetSampler,
@@ -148,7 +148,7 @@ def run(arch="res_18", rep="cartesian", poly_loss="l1", epochs=60,
             # higher-IoU thresholds well below 1 even for a perfect fit
             if ap50 >= bar:
                 break
-    return {
+    result = {
         "arch": arch, "rep": rep, "poly_loss": poly_loss,
         "images": n_images, "input": [input_h, input_w],
         "epochs_run": traj[-1]["epoch"] if traj else 0,
@@ -157,6 +157,54 @@ def run(arch="res_18", rep="cartesian", poly_loss="l1", epochs=60,
         "bar": bar, "passed": ap50 >= bar,
         "wall_s": round(time.time() - t0, 1),
     }
+
+    if eval_dcn:
+        # AP-parity cross-check (VERDICT r4 item 4): re-score the SAME
+        # trained weights with the DCN path switched (e.g. train
+        # standard -> eval rowband:4).  A fresh Trainer re-traces the
+        # eval/decode programs under the env gate; the trained state
+        # carries over.
+        prev = os.environ.get("CENTERPOLY_PALLAS_DCN")
+        os.environ["CENTERPOLY_PALLAS_DCN"] = eval_dcn
+        try:
+            trainer2 = Trainer(cfg, train_loader, val_loader, meta,
+                               use_mesh=False)
+            trainer2.state = trainer.state
+            _, ap_x = trainer2.validate(traj[-1]["epoch"] + 1 if traj
+                                        else 1, save_dir)
+            res_x = FixtureMeta.last_res or {}
+            result["eval_dcn"] = eval_dcn
+            result["eval_dcn_ap"] = ap_x or 0.0
+            result["eval_dcn_ap50"] = float(res_x.get("allAp50%") or 0.0)
+            result["eval_dcn_ap50_delta"] = round(
+                result["eval_dcn_ap50"] - ap50, 6)
+            log(f"eval under {eval_dcn}: AP50 "
+                f"{result['eval_dcn_ap50']:.4f} "
+                f"(delta {result['eval_dcn_ap50_delta']:+.4f})")
+        finally:
+            if prev is None:
+                os.environ.pop("CENTERPOLY_PALLAS_DCN", None)
+            else:
+                os.environ["CENTERPOLY_PALLAS_DCN"] = prev
+
+    if offset_r is not None:
+        # learned-offset saturation at band R on the TRAINED weights
+        # (centerpoly_tpu/tools/analyze_dcn_offsets.py, in-memory)
+        from centerpoly_tpu.tools.analyze_dcn_offsets import (
+            collect, offset_stats)
+        import cv2
+        img = cv2.imread(os.path.join(img_dir, "img_0.png"))[:, :, ::-1]
+        inter = collect(cfg, variables=trainer.eval_variables(),
+                        image=np.ascontiguousarray(img))
+        rows = offset_stats(inter, float(offset_r))
+        result["offset_stats_r"] = float(offset_r)
+        result["offset_stats"] = rows
+        result["worst_node_frac_y_clamped"] = max(
+            (row["y_frac_clamped_at_r"] for row in rows), default=0.0)
+        log(f"offset saturation at R={offset_r}: worst node y-frac "
+            f"{result['worst_node_frac_y_clamped']}")
+
+    return result
 
 
 def main():
@@ -174,6 +222,16 @@ def main():
     p.add_argument("--val_every", type=int, default=10)
     p.add_argument("--poly_order", action="store_true")
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    p.add_argument("--eval_dcn", default=None,
+                   help="after training, re-score the SAME weights with "
+                        "this DCN path (e.g. rowband:4) and report the "
+                        "AP50 delta — the train-standard/eval-rowband "
+                        "parity direction")
+    p.add_argument("--offset_stats", type=float, default=None,
+                   metavar="R",
+                   help="after training, report learned DCN |offset| "
+                        "percentiles + the fraction a [-R, R] clamp "
+                        "would saturate (picks the lossless rowband R)")
     args = p.parse_args()
 
     import jax
@@ -187,7 +245,8 @@ def main():
               epochs=args.epochs, n_images=args.images,
               input_h=args.input_h, input_w=args.input_w,
               batch_size=args.batch_size, lr=args.lr, bar=args.bar,
-              val_every=args.val_every, poly_order=args.poly_order)
+              val_every=args.val_every, poly_order=args.poly_order,
+              eval_dcn=args.eval_dcn, offset_r=args.offset_stats)
     print("RESULT " + json.dumps(res))
 
 

@@ -1,3 +1,4 @@
+import os
 import numpy as np
 import pytest
 import jax
@@ -487,6 +488,55 @@ class TestEvalStep:
 def test_graft_entry_multichip():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(min(8, len(jax.devices())))
+
+
+class TestDryrunBlobBinding:
+    """The committed AOT dryrun blob must be bound to the source it was
+    traced from (round-4 advisor, severity high): editing the model,
+    losses, or train step must make the dryrun live-trace instead of
+    silently replaying the stale export."""
+
+    def test_hash_changes_with_source(self, tmp_path):
+        import __graft_entry__ as ge
+        pkg = tmp_path / "pkg"
+        for d in ge._DRYRUN_SOURCE_DIRS:
+            (pkg / d).mkdir(parents=True)
+            (pkg / d / "m.py").write_text(f"X = '{d}'\n")
+        h1 = ge.dryrun_source_hash(str(pkg))
+        assert h1 == ge.dryrun_source_hash(str(pkg))  # deterministic
+        (pkg / "losses" / "m.py").write_text("X = 'edited loss'\n")
+        assert ge.dryrun_source_hash(str(pkg)) != h1
+        # a NEW file must also change the hash
+        (pkg / "models" / "extra.py").write_text("Y = 1\n")
+        h3 = ge.dryrun_source_hash(str(pkg))
+        assert h3 != h1
+
+    def test_committed_blob_is_fresh(self):
+        """CI freshness check: the committed manifest's source_hash must
+        match the current tree. If this fails you edited a module the
+        dryrun traces through — regenerate with
+          _CENTERPOLY_DRYRUN_CHILD= JAX_PLATFORMS=cpu \\
+          XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
+          python experiments/export_dryrun_step.py"""
+        import json
+        import __graft_entry__ as ge
+        man = os.path.join(os.path.dirname(os.path.abspath(ge.__file__)),
+                           "experiments", "dryrun_step_8.json")
+        with open(man) as f:
+            manifest = json.load(f)
+        assert manifest.get("source_hash") == ge.dryrun_source_hash(), (
+            "dryrun_step_8.jaxexport is stale vs the current source — "
+            "regenerate (see docstring)")
+        assert manifest.get("jax_version") == jax.__version__
+
+    def test_stale_hash_triggers_live_trace(self, monkeypatch):
+        """An edited traced-through module (simulated by a diverging
+        source hash) must raise _BlobMismatch so dryrun_multichip falls
+        through to the live trace."""
+        import __graft_entry__ as ge
+        monkeypatch.setattr(ge, "dryrun_source_hash", lambda *a: "beef")
+        with pytest.raises(ge._BlobMismatch):
+            ge._dryrun_replay_exported(8, lambda m: None)
 
 
 class TestDistributed:
