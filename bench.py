@@ -214,6 +214,25 @@ def main():
                      ".jax_cache"))
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
+    # chip lock: serialize with queue steps / other bench runs — a
+    # contended chip produced a falsified measurement in round 4 and
+    # starved the round-5 probes.  Bounded wait, then proceed anyway
+    # (a measurement under contention beats none).
+    import fcntl
+    lock = open("/tmp/centerpoly_tpu.lock", "w")
+    lock_deadline = time.time() + float(
+        os.environ.get("CENTERPOLY_LOCK_WAIT", "1800"))
+    while True:
+        try:
+            fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            break
+        except OSError:
+            if time.time() > lock_deadline:
+                print("# chip lock still held after wait; proceeding "
+                      "under contention", file=sys.stderr)
+                break
+            time.sleep(10)
+
     probe_s = ensure_backend()
     if probe_s is None:
         _emit_stale_record()

@@ -34,7 +34,72 @@ def main():
     p.add_argument("--rep", default="polar")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--ab_forms", default="",
+                   help="comma-separated DCN formulations: run the FULL "
+                        "train step once per formulation (applied "
+                        "uniformly to every DCN node) and report the "
+                        "winner — the train-mode analogue of "
+                        "profile_inference --ab_forms (per-shape "
+                        "isolated winners mix badly at model level, "
+                        "measured round 4)")
+    p.add_argument("--write_table", action="store_true",
+                   help="with --ab_forms: write the measured full-model "
+                        "winner into the production auto table's "
+                        "TRAIN keys (b,h,w,cin,1) for this arch/batch")
     args = p.parse_args()
+
+    if args.ab_forms:
+        forms = [f.strip() for f in args.ab_forms.split(",") if f.strip()]
+        results = {}
+        for form in forms:
+            os.environ["CENTERPOLY_DCN_FORMULATION"] = form
+            # fresh process per form: the formulation gate is read at
+            # trace time and jit caches key on the traced program
+            import subprocess
+            import sys as _sys
+            child = [a for a in _sys.argv if not a.startswith(
+                "--ab_forms") and a != args.ab_forms
+                and a != "--write_table"]
+            proc = subprocess.run([_sys.executable] + child,
+                                  capture_output=True, text=True,
+                                  env=os.environ.copy())
+            sys.stdout.write(proc.stdout)
+            sys.stderr.write(proc.stderr)
+            if proc.returncode != 0:
+                print(json.dumps({"ab_form": form, "error": "failed"}),
+                      flush=True)
+                continue
+            rec = json.loads(proc.stdout.strip().splitlines()[-1])
+            results[form] = rec["step_s"]
+            print(json.dumps({"ab_form": form,
+                              "train_step_s": rec["step_s"]}), flush=True)
+        if not results:
+            raise SystemExit("every ab form failed")
+        winner = min(results, key=results.get)
+        print(json.dumps({"ab_winner_train": winner}), flush=True)
+        if args.write_table and args.arch == "dla_34":
+            # DLA-34 train node shape classes (strides 4/8/16/32)
+            sh, sw = args.h // 4, args.w // 4
+            b = args.batch
+            keys = [f"{b},{sh},{sw},64,1",
+                    f"{b},{sh // 2},{sw // 2},128,1",
+                    f"{b},{sh // 4},{sw // 4},256,1",
+                    f"{b},{sh // 8},{sw // 8},512,1"]
+            path = os.environ.get(
+                "CENTERPOLY_DCN_AUTO_TABLE",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "dcn_auto_table.json"))
+            try:
+                with open(path) as f:
+                    table = json.load(f)
+            except (OSError, ValueError):
+                table = {}
+            table.update({k: winner for k in keys})
+            with open(path, "w") as f:
+                json.dump(table, f, indent=1, sort_keys=True)
+            print(json.dumps({"wrote_table": path, "keys": keys,
+                              "winner": winner}), flush=True)
+        return
 
     import jax
     from centerpoly_tpu.configs import Config

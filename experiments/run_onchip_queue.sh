@@ -25,7 +25,7 @@ export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
 export JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS=1
 
 alive() {
-  timeout 240 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); print('alive', float((x@x)[0,0]))"
+  flock -w 3600 /tmp/centerpoly_tpu.lock timeout 240 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); print('alive', float((x@x)[0,0]))"
 }
 gate() {  # abort the queue fast when the tunnel died mid-run
   alive || { echo "=== TUNNEL LOST - aborting queue ==="; exit 1; }
@@ -36,7 +36,7 @@ alive || exit 1
 
 echo "=== 1. DCN formulation shoot-out (research table only) ==="
 if [ "$QUICK" = "0" ]; then
-  timeout 1800 python experiments/bench_dcn_variants.py --batch 1 --dtype bfloat16 --write_table
+  flock -w 3600 /tmp/centerpoly_tpu.lock timeout 1800 python experiments/bench_dcn_variants.py --batch 1 --dtype bfloat16 --write_table
   gate
 else
   echo "skipped in --quick mode (per-shape winners are research data)"
@@ -49,50 +49,50 @@ for form in tapwise quad duo fused; do
   gate
 done
 echo "--- formulation=auto (measured table)"
-timeout 1800 python experiments/profile_inference.py
+flock -w 3600 /tmp/centerpoly_tpu.lock timeout 1800 python experiments/profile_inference.py
 gate
 
 if [ "$QUICK" = "1" ]; then
   echo "=== 9. the driver bench (quick mode) ==="
-  timeout 1800 python bench.py
+  flock -w 3600 /tmp/centerpoly_tpu.lock timeout 1800 python bench.py
   echo "=== QUICK QUEUE COMPLETE (rerun without --quick for steps 3-8) ==="
   exit 0
 fi
 
 echo "=== 3. rowband Pallas kernel: compile + numerics + timing ==="
-timeout 2400 python experiments/bench_dcn_rowband.py --r 4
+flock -w 3600 /tmp/centerpoly_tpu.lock timeout 2400 python experiments/bench_dcn_rowband.py --r 4
 gate
 
 echo "=== 4. batch-8 variants (training-scale fwd shapes) ==="
-timeout 1800 python experiments/bench_dcn_variants.py --batch 8 --dtype bfloat16
+flock -w 3600 /tmp/centerpoly_tpu.lock timeout 1800 python experiments/bench_dcn_variants.py --batch 8 --dtype bfloat16
 gate
 
 echo "=== 5. DCN backward: quad_tapwise vs tapwise ==="
-timeout 2400 python experiments/bench_dcn_bwd.py --batch 8 --dtype bfloat16
+flock -w 3600 /tmp/centerpoly_tpu.lock timeout 2400 python experiments/bench_dcn_bwd.py --batch 8 --dtype bfloat16
 gate
 
 echo "=== 6. paper-scale training step: dla_34 b8 bf16 quad_tapwise ==="
-CENTERPOLY_DCN_FORMULATION=quad_tapwise timeout 3000 python experiments/bench_train_iou.py --arch dla_34 --batch 8 --dtype bfloat16 --steps 5
+CENTERPOLY_DCN_FORMULATION=quad_tapwise flock -w 3600 /tmp/centerpoly_tpu.lock timeout 3000 python experiments/bench_train_iou.py --arch dla_34 --batch 8 --dtype bfloat16 --steps 5
 gate
 echo "--- baseline tapwise for comparison"
-CENTERPOLY_DCN_FORMULATION=tapwise timeout 3000 python experiments/bench_train_iou.py --arch dla_34 --batch 8 --dtype bfloat16 --steps 5
+CENTERPOLY_DCN_FORMULATION=tapwise flock -w 3600 /tmp/centerpoly_tpu.lock timeout 3000 python experiments/bench_train_iou.py --arch dla_34 --batch 8 --dtype bfloat16 --steps 5
 gate
 
 echo "=== 6b. training step under the best stem layout (A/B vs 6) ==="
-CENTERPOLY_DCN_FORMULATION=quad_tapwise CENTERPOLY_STEM_LAYOUT=nchw timeout 3000 python experiments/bench_train_iou.py --arch dla_34 --batch 8 --dtype bfloat16 --steps 5
+CENTERPOLY_DCN_FORMULATION=quad_tapwise CENTERPOLY_STEM_LAYOUT=nchw flock -w 3600 /tmp/centerpoly_tpu.lock timeout 3000 python experiments/bench_train_iou.py --arch dla_34 --batch 8 --dtype bfloat16 --steps 5
 gate
 
 echo "=== 7. batched throughput ==="
-timeout 1800 python experiments/bench_batch.py
+flock -w 3600 /tmp/centerpoly_tpu.lock timeout 1800 python experiments/bench_batch.py
 gate
 
 echo "=== 5b. train-time auto table (fwd+bwd timing via --train) ==="
-timeout 2400 python experiments/bench_dcn_variants.py --batch 8 --dtype bfloat16 --write_table --train
+flock -w 3600 /tmp/centerpoly_tpu.lock timeout 2400 python experiments/bench_dcn_variants.py --batch 8 --dtype bfloat16 --write_table --train
 gate
 
 echo "=== 8. stem layout + gather-rate probes (512B rows decide the quad byte-ceiling question) ==="
-timeout 1200 python experiments/probe_stem_layout.py
-timeout 1200 python experiments/probe_gather_rates.py
+flock -w 3600 /tmp/centerpoly_tpu.lock timeout 1200 python experiments/probe_stem_layout.py
+flock -w 3600 /tmp/centerpoly_tpu.lock timeout 1200 python experiments/probe_gather_rates.py
 gate
 
 echo "=== 8a. full-model stem-layout A/B (dlav0 isolates the non-DCN share) ==="
@@ -103,13 +103,13 @@ for layout in nchw im2col; do
 done
 
 echo "=== 8c. paper-config (smallhourglass) full-pipeline profile ==="
-timeout 1800 python experiments/profile_inference.py --archs smallhourglass
+flock -w 3600 /tmp/centerpoly_tpu.lock timeout 1800 python experiments/profile_inference.py --archs smallhourglass
 gate
 
 echo "=== 8b. Mosaic compile-surface re-bisect (toolchain may have moved) ==="
-timeout 1200 python experiments/probe_mosaic_gather.py
+flock -w 3600 /tmp/centerpoly_tpu.lock timeout 1200 python experiments/probe_mosaic_gather.py
 
 echo "=== 9. the driver bench ==="
-timeout 1800 python bench.py
+flock -w 3600 /tmp/centerpoly_tpu.lock timeout 1800 python bench.py
 
 echo "=== QUEUE COMPLETE ==="

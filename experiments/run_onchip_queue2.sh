@@ -20,7 +20,7 @@ MARKERS=${MARKERS:-/tmp/onchip_r4_done}
 mkdir -p "$MARKERS"
 
 alive() {
-  timeout 240 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); print('alive', float((x@x)[0,0]))"
+  flock -w 3600 /tmp/centerpoly_tpu.lock timeout 240 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); print('alive', float((x@x)[0,0]))"
 }
 gate() {
   alive || { echo "=== TUNNEL LOST - aborting queue (markers kept) ==="; exit 1; }
@@ -30,7 +30,7 @@ run() {
   local marker="$1" cap="$2"; shift 2
   if [ -e "$MARKERS/$marker" ]; then echo "=== skip $marker (done) ==="; return 0; fi
   echo "=== step $marker ==="
-  if timeout "$cap" env "$@"; then touch "$MARKERS/$marker"; else
+  if flock -w 3600 /tmp/centerpoly_tpu.lock timeout "$cap" env "$@"; then touch "$MARKERS/$marker"; else
     echo "=== step $marker FAILED (rc=$?) - will retry on next queue run ==="
   fi
   gate
