@@ -35,6 +35,10 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--r", type=int, default=4, help="max |y-offset|")
     p.add_argument("--shapes", default="all", choices=list(SHAPES))
+    p.add_argument("--batch", type=int, default=1,
+                   help="batch size (train benches run b=8; the rowband "
+                        "grid scales as z=b*h, so per-band cost should "
+                        "be batch-invariant — measure, don't assume)")
     args = p.parse_args()
 
     import jax
@@ -53,19 +57,20 @@ def main():
 
     rng = np.random.RandomState(0)
     r = float(args.r)
+    b = args.batch
     any_compiled = False
     for (h, w, c, cout) in SHAPES[args.shapes]:
         x = jax.device_put(jnp.asarray(
-            rng.randn(1, h, w, c), jnp.bfloat16))
+            rng.randn(b, h, w, c), jnp.bfloat16))
         off = jax.device_put(jnp.asarray(
-            rng.randn(1, h, w, 18) * 2, jnp.float32))
+            rng.randn(b, h, w, 18) * 2, jnp.float32))
         mk = jax.device_put(jax.nn.sigmoid(jnp.asarray(
-            rng.randn(1, h, w, 9), jnp.float32)))
+            rng.randn(b, h, w, 9), jnp.float32)))
         wt = jax.device_put(jnp.asarray(
             rng.randn(3, 3, c, cout) * 0.05, jnp.bfloat16))
         bs = jax.device_put(jnp.asarray(rng.randn(cout), jnp.bfloat16))
 
-        row = {"shape": [h, w, c, cout], "R": args.r}
+        row = {"shape": [b, h, w, c, cout], "R": args.r}
 
         # XLA paths on the SAME y-clamped offsets (apples to apples)
         def clamped(fn):
