@@ -43,5 +43,11 @@ run 20_train_duo_l1 3600 CENTERPOLY_DCN_FORMULATION=duo_tapwise python experimen
 run 20b_train_rowband_l1 3600 CENTERPOLY_PALLAS_DCN=rowband:4 python experiments/bench_train_iou.py --arch dla_34 --batch 8 --dtype bfloat16 --steps 8 --poly_loss l1
 run 21_train_hg 3600 python experiments/bench_train_iou.py --arch smallhourglass --batch 8 --dtype bfloat16 --steps 8
 run 19_rowband_bwd_b8 3600 python experiments/bench_dcn_rowband.py --batch 8
+# repeat of queue5 step 12b on a (hopefully) quiet chip: the original
+# 5.68 s/step ran minutes after step 12 crashed the TPU worker, and the
+# offline loss-cost probe (probe_loss_cost.py: IoU grad byte-floor
+# ~3 ms) says the loss cannot account for it — degraded-chip artifact
+# is a live hypothesis
+run 12b2_train_rowband_repeat 3600 CENTERPOLY_PALLAS_DCN=rowband:4 python experiments/bench_train_iou.py --arch dla_34 --batch 8 --dtype bfloat16 --steps 8
 
 echo "=== QUEUE6 COMPLETE ==="
