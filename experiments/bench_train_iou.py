@@ -162,17 +162,25 @@ def main():
     # and differences two k values, so RTT and dispatch cancel.
     from centerpoly_tpu.utils.timing import measure_device_time, scalarize
 
-    def one_step(inp):
+    def one_step(inp, state_arg, batch_rest):
         # state0, not state: step donates argnum 0, so the pre-compile
         # state's buffers are dead after the first call.  Fresh state
         # each iteration is NOT what production does (state advances),
         # but for steady-state cost the program is identical; scalarize
         # sums every output leaf (params, opt state, stats) so the
         # optimizer update cannot be dead-code-eliminated.
-        return step(state0, dict(batch, input=inp))
+        #
+        # state/batch MUST be jit ARGUMENTS, not closure constants: on
+        # this stack XLA rewrites dots/convs with large constant
+        # operands into a much slower form (bench.py header; measured
+        # 2026-08-20: the closure-constant version of this bench timed
+        # the rowband b8 train step at 5.68 s/step — every other bench
+        # in the repo already passes variables as arguments).
+        return step(state_arg, dict(batch_rest, input=inp))
 
+    batch_rest = {k: v for k, v in batch.items() if k != "input"}
     step_s = measure_device_time(
-        scalarize(one_step), [batch["input"]],
+        scalarize(one_step), [batch["input"], state0, batch_rest],
         k_small=1, k_big=1 + args.steps, reps=3)
 
     # MFU: compiled-program flops / (step time * chip peak bf16)
