@@ -412,8 +412,11 @@ def _measure():
     # native metric is "2048x1024 frames/sec/chip"; a production server
     # feeds the chip a same-shape frame stack through one compiled
     # program (Detector.run_batch / reference src/test.py:47-85).
+    # B=32 is the measured throughput-optimal batch (on-chip sweep
+    # 2026-08-20, bench_batch_sweep.py: 233.1 f/s at b32 vs 216.9 at
+    # b8 vs 194.9 at b1 — RESULTS.md round-5 sweep table).
     try:
-        B = 8
+        B = 32
         frames = jax.device_put(
             (rng.rand(B, 1024, 2048, 3) * 255).astype(np.uint8))
 
@@ -530,6 +533,29 @@ def _measure():
                         std_dev))
         emit("polydet_dla34_rowband_2048x1024_device_time_per_frame",
              rb_s, "s/frame", BASELINE_S / rb_s)
+
+        # rowband batched throughput at the measured sweep winner
+        # (on-chip 2026-08-20, bench_batch_sweep.py: b4 77.4 f/s vs
+        # b1 59.4 / b8 62.3 — RESULTS.md round-5 sweep table)
+        B = 4
+        frames_rb = jax.device_put(
+            (rng.rand(B, 1024, 2048, 3) * 255).astype(np.uint8))
+
+        def scalar_rb_batch(eps, variables, frames_u8, trans, mean, std):
+            warped = jax.vmap(lambda f: warp_axis_aligned(
+                f.astype(jnp.float32) + eps, trans,
+                (cfg_rb.input_h, cfg_rb.input_w)))(frames_u8)
+            x = (warped / 255.0 - mean) / std
+            _, dets = det_rb._process_device(variables, x)
+            return jnp.sum(dets.astype(jnp.float32))
+
+        batch_s = measure_device_time(
+            scalar_rb_batch,
+            (det_rb.variables, frames_rb, trans_dev, mean_dev, std_dev))
+        fps = B / batch_s
+        emit(f"polydet_dla34_rowband_2048x1024_batch{B}"
+             f"_frames_per_s_per_chip", fps, "frames/s/chip",
+             fps * BASELINE_S)
     except Exception as e:  # pragma: no cover - defensive
         print(f"# dla34 rowband secondary skipped: "
               f"{type(e).__name__}: {e}", file=sys.stderr)

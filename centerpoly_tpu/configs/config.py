@@ -101,6 +101,27 @@ def task_heads(task: str, num_classes: int, nbr_points: int = 16,
 _CONFIG_OWNED_ENV: dict = {}
 
 
+def _apply_owned_env(var: str, value: str, default: str = "auto") -> None:
+    """Write `var=value` with config-ownership bookkeeping.
+
+    A non-default value snapshots the user's pre-existing env (once)
+    and overwrites it; reverting to the default restores the snapshot
+    rather than popping, so a user export survives an intervening
+    non-default Config.
+    """
+    import os
+    if value != default:
+        if var not in _CONFIG_OWNED_ENV:
+            _CONFIG_OWNED_ENV[var] = os.environ.get(var)
+        os.environ[var] = value
+    elif var in _CONFIG_OWNED_ENV:
+        prior = _CONFIG_OWNED_ENV.pop(var)
+        if prior is None:
+            os.environ.pop(var, None)
+        else:
+            os.environ[var] = prior
+
+
 @dataclasses.dataclass
 class Config:
     """One experiment. Field names/defaults track reference opts.py."""
@@ -123,6 +144,13 @@ class Config:
                                    # quad_tapwise — DCNv2 sampling
                                    # formulation (identical math; see
                                    # models/deform_conv.py)
+    dcn_kernel: str = "auto"       # auto | off | on | rowband[:R] |
+                                   # halo[:R] — Pallas DCN kernel mode
+                                   # (CENTERPOLY_PALLAS_DCN; rowband
+                                   # bands y-offsets to ±R with exact
+                                   # x — measured AP50 delta +0.0000 on
+                                   # trained weights, RESULTS.md
+                                   # "Queue5 part 2")
     eval_batch: int = 1            # frames per compiled program in batch
     infer_devices: int = 0         # >1: shard run_batch over a 'data'
                                    # mesh of this many devices
@@ -238,22 +266,23 @@ class Config:
                 "dla" in self.arch or "hourglass" in self.arch) else 64
         self.pad = 127 if "hourglass" in self.arch else 31
         self.num_stacks = 2 if self.arch == "hourglass" else 1
-        # the DCNv2 module resolves its formulation at trace time via
-        # this env var (module attrs would retrace every switch); 'auto'
-        # clears any value a PREVIOUS Config wrote (so configs don't leak
-        # into each other) but leaves a user-exported env var alone
-        import os
-        var = "CENTERPOLY_DCN_FORMULATION"
-        if self.dcn_form != "auto":
-            if var not in _CONFIG_OWNED_ENV:
-                _CONFIG_OWNED_ENV[var] = os.environ.get(var)
-            os.environ[var] = self.dcn_form
-        elif var in _CONFIG_OWNED_ENV:
-            prior = _CONFIG_OWNED_ENV.pop(var)
-            if prior is None:
-                os.environ.pop(var, None)
-            else:
-                os.environ[var] = prior
+        # the DCNv2 module resolves its formulation and Pallas-kernel
+        # mode at trace time via these env vars (module attrs would
+        # retrace every switch); 'auto' clears any value a PREVIOUS
+        # Config wrote (so configs don't leak into each other) but
+        # leaves a user-exported env var alone
+        _apply_owned_env("CENTERPOLY_DCN_FORMULATION", self.dcn_form)
+        kern = self.dcn_kernel.lower()
+        prefix = kern.split(":", 1)[0]
+        if prefix not in ("auto", "off", "on", "0", "1", "rowband",
+                          "halo"):
+            # fail at config construction, not mid-trace: a typo here
+            # would silently run the wrong (slower or clamped) DCN path
+            raise ValueError(
+                f"dcn_kernel={self.dcn_kernel!r}: expected auto | off | "
+                f"on | rowband[:R] | halo[:R] "
+                f"(models/deform_conv.py gate vocabulary)")
+        _apply_owned_env("CENTERPOLY_PALLAS_DCN", kern)
         if self.poly_loss in ("iou", "l1+iou") and self.rep == "cartesian":
             # deliberate deviation from the reference (losses.py:1049-1060
             # computes IoU on raw channel pairs even for cartesian — i.e.

@@ -472,6 +472,38 @@ class TestFormulationSelection:
             f"{sorted(committed)}")
 
 
+class TestDcnKernelConfig:
+    """Config.dcn_kernel mirrors dcn_form's owned-env contract for the
+    Pallas kernel gate (CENTERPOLY_PALLAS_DCN)."""
+
+    def test_sets_and_restores_env(self, monkeypatch):
+        from centerpoly_tpu.configs import Config, config as cfgmod
+        # pretend the user exported a value before any Config existed
+        monkeypatch.setenv("CENTERPOLY_PALLAS_DCN", "halo:3")
+        monkeypatch.setattr(cfgmod, "_CONFIG_OWNED_ENV", {})
+        Config(task="polydet", dcn_kernel="rowband:6")
+        assert os.environ["CENTERPOLY_PALLAS_DCN"] == "rowband:6"
+        # reverting to auto restores the user export, not 'auto'
+        Config(task="polydet")
+        assert os.environ["CENTERPOLY_PALLAS_DCN"] == "halo:3"
+
+    def test_config_value_reaches_rowband_gate(self, monkeypatch):
+        from centerpoly_tpu.configs import Config, config as cfgmod
+        from centerpoly_tpu.models import deform_conv as dc
+        monkeypatch.delenv("CENTERPOLY_PALLAS_DCN", raising=False)
+        monkeypatch.setattr(cfgmod, "_CONFIG_OWNED_ENV", {})
+        Config(task="polydet", dcn_kernel="rowband:6")
+        use, r = dc.rowband_dcn_mode(64, 128, 32, 32)
+        assert r == 6  # mode requested with the config's R
+        Config(task="polydet")  # restore
+
+    def test_typo_raises_at_construction(self):
+        import pytest
+        from centerpoly_tpu.configs import Config
+        with pytest.raises(ValueError, match="dcn_kernel"):
+            Config(task="polydet", dcn_kernel="rowbnad:4")
+
+
 class TestEvalStep:
     def test_eval(self):
         model = make_tiny_model()
