@@ -100,6 +100,14 @@ def task_heads(task: str, num_classes: int, nbr_points: int = 16,
 # so a user export survives an intervening non-auto Config
 _CONFIG_OWNED_ENV: dict = {}
 
+# What the inference-only entrypoints default dcn_kernel to on DCN
+# archs (Config.prefer_fast_inference_dcn).  R chosen from measured
+# learned-offset stats: the fixture-trained DLA-34's worst node has
+# y_max 5.13 px (15 of 16 nodes < 3), so the R=6 band is a no-op on
+# trained weights while the kernel still beats the exact XLA path
+# (RESULTS.md round-5 "Queue5 part 2" + R-cost table).
+INFERENCE_DCN_KERNEL_DEFAULT = "rowband:6"
+
 
 def _apply_owned_env(var: str, value: str, default: str = "auto") -> None:
     """Write `var=value` with config-ownership bookkeeping.
@@ -283,6 +291,7 @@ class Config:
                 f"on | rowband[:R] | halo[:R] "
                 f"(models/deform_conv.py gate vocabulary)")
         _apply_owned_env("CENTERPOLY_PALLAS_DCN", kern)
+        self._dcn_kernel_defaulted = False
         if self.poly_loss in ("iou", "l1+iou") and self.rep == "cartesian":
             # deliberate deviation from the reference (losses.py:1049-1060
             # computes IoU on raw channel pairs even for cartesian — i.e.
@@ -302,6 +311,32 @@ class Config:
             self.reg_offset, self.cat_spec_poly, self.cat_spec_wh,
             agnostic_ex=self.agnostic_ex, reg_bbox=self.reg_bbox,
             hm_hp=self.hm_hp, reg_hp_offset=self.reg_hp_offset)
+
+    def prefer_fast_inference_dcn(self) -> bool:
+        """Default the INFERENCE-ONLY entrypoints onto the rowband
+        Pallas DCN kernel (test/demo/run_on_csv call this right after
+        from_args; the training entry never does).
+
+        Applies only when the user expressed no preference (dcn_kernel
+        'auto' and CENTERPOLY_PALLAS_DCN unset) and the arch has DCNv2
+        nodes (dla_* except dlav0, resdcn_*).  Evidence for the
+        default: eval-side AP50 delta vs the exact path is +0.0000 on
+        trained weights and learned y-offsets stay inside the band
+        (RESULTS.md "Queue5 part 2"); speed is 2.1x on DLA-34
+        (16.6 vs 35.1 ms/frame).  `--dcn_kernel off` restores exact
+        DCNv2 semantics.  Returns True when the default was applied.
+        """
+        import os
+        has_dcn = (self.arch.startswith("dla")
+                   and not self.arch.startswith("dlav0")) \
+            or self.arch.startswith("resdcn")
+        if (self.dcn_kernel != "auto" or not has_dcn
+                or os.environ.get("CENTERPOLY_PALLAS_DCN") is not None):
+            return False
+        self.dcn_kernel = INFERENCE_DCN_KERNEL_DEFAULT
+        _apply_owned_env("CENTERPOLY_PALLAS_DCN", self.dcn_kernel)
+        self._dcn_kernel_defaulted = True
+        return True
 
     def to_json(self) -> str:
         d = {k: v for k, v in dataclasses.asdict(self).items()}

@@ -504,6 +504,50 @@ class TestDcnKernelConfig:
             Config(task="polydet", dcn_kernel="rowbnad:4")
 
 
+class TestInferenceDcnDefault:
+    """Inference entrypoints default DCN archs onto the rowband kernel
+    (Config.prefer_fast_inference_dcn); training never does."""
+
+    def _clean(self, monkeypatch):
+        from centerpoly_tpu.configs import config as cfgmod
+        monkeypatch.delenv("CENTERPOLY_PALLAS_DCN", raising=False)
+        monkeypatch.setattr(cfgmod, "_CONFIG_OWNED_ENV", {})
+
+    def test_defaults_on_dcn_arch(self, monkeypatch):
+        from centerpoly_tpu.configs import Config, config as cfgmod
+        self._clean(monkeypatch)
+        cfg = Config(task="polydet", arch="dla_34")
+        assert cfg.prefer_fast_inference_dcn()
+        assert cfg.dcn_kernel == cfgmod.INFERENCE_DCN_KERNEL_DEFAULT
+        assert (os.environ["CENTERPOLY_PALLAS_DCN"]
+                == cfgmod.INFERENCE_DCN_KERNEL_DEFAULT)
+        Config(task="polydet")  # restore owned env
+
+    def test_user_env_wins(self, monkeypatch):
+        from centerpoly_tpu.configs import Config
+        self._clean(monkeypatch)
+        monkeypatch.setenv("CENTERPOLY_PALLAS_DCN", "off")
+        cfg = Config(task="polydet", arch="dla_34")
+        assert not cfg.prefer_fast_inference_dcn()
+        assert os.environ["CENTERPOLY_PALLAS_DCN"] == "off"
+
+    def test_explicit_flag_wins(self, monkeypatch):
+        from centerpoly_tpu.configs import Config
+        self._clean(monkeypatch)
+        cfg = Config(task="polydet", arch="dla_34", dcn_kernel="off")
+        assert not cfg.prefer_fast_inference_dcn()
+        assert cfg.dcn_kernel == "off"
+        Config(task="polydet")  # restore owned env
+
+    def test_noop_on_dcn_free_archs(self, monkeypatch):
+        from centerpoly_tpu.configs import Config
+        self._clean(monkeypatch)
+        for arch in ("smallhourglass", "dlav0_34", "res_18"):
+            cfg = Config(task="polydet", arch=arch)
+            assert not cfg.prefer_fast_inference_dcn(), arch
+            assert os.environ.get("CENTERPOLY_PALLAS_DCN") is None
+
+
 class TestEvalStep:
     def test_eval(self):
         model = make_tiny_model()
