@@ -219,7 +219,8 @@ def main():
     # starved the round-5 probes.  Bounded wait, then proceed anyway
     # (a measurement under contention beats none).
     import fcntl
-    lock = open("/tmp/centerpoly_tpu.lock", "w")
+    lock = open(os.environ.get("CENTERPOLY_LOCK_FILE",
+                               "/tmp/centerpoly_tpu.lock"), "w")
     lock_deadline = time.time() + float(
         os.environ.get("CENTERPOLY_LOCK_WAIT", "1800"))
     while True:

@@ -192,11 +192,132 @@ def _tri_tri_intersection_area(t1: jnp.ndarray, t2: jnp.ndarray) -> jnp.ndarray:
     return polygon_area_masked(poly, valid.astype(poly.dtype))
 
 
+# Collinearity threshold in *distance* units (constraint values are
+# normalized by the constraint edge length, so this is ~1e-4 px —
+# comfortably above f32 cross-product noise at feature-map coordinate
+# scale, far below any real geometric feature).
+_COLLINEAR_EPS = 1e-4
+
+
+def _edge_clip_contrib(sa, da, eb, db):
+    """Green's-theorem contribution of CCW-polygon-A edges clipped by B.
+
+    One pass of the closed-form convex intersection: for every directed
+    edge (sa, sa+da) of A, intersect the parameter interval [0, 1] with
+    the half-planes left of B's directed edges (eb, eb+db), then emit the
+    line-integral term cross(s, e)/2 of the surviving sub-segment.  Pure
+    elementwise math — no scan, no scatter — so XLA fuses the whole batch
+    into a handful of VPU kernels (this replaced a vmapped
+    Sutherland-Hodgman scan that serialized the train step ~10^3x past
+    its cost model; see experiments/RESULTS.md round-5 queue6 harvest).
+
+    Segments that lie exactly ON a constraint line (collinear-coincident,
+    e.g. identical polygons or the shared rays of polar_fixed fans) are
+    weighted 1/2: the matching pass over B's edges produces the same
+    (same-direction overlap -> counts once total) or the negated
+    (opposite-direction zero-area sliver -> cancels) contribution.
+
+    Args:
+      sa: (..., E, 2) edge start points of A;  da: (..., E, 2) edge vectors.
+      eb: (..., C, 2) constraint origins of B; db: (..., C, 2) edge vectors.
+    Returns: (...,) sum of contributions (signed; >= 0 for CCW inputs).
+    """
+    # Broadcast edges (axis -2) against constraints (axis -1).
+    sa_ = sa[..., :, None, :]
+    da_ = da[..., :, None, :]
+    eb_ = eb[..., None, :, :]
+    db_ = db[..., None, :, :]
+
+    # f(t) = c0 + t*c1 >= 0  <=>  point left of constraint.
+    c1 = db_[..., 0] * da_[..., 1] - db_[..., 1] * da_[..., 0]
+    rel = sa_ - eb_
+    c0 = db_[..., 0] * rel[..., 1] - db_[..., 1] * rel[..., 0]
+    inv_len = jax.lax.rsqrt(
+        jnp.maximum(db_[..., 0] ** 2 + db_[..., 1] ** 2, _EPS))
+    c0n = c0 * inv_len  # signed distance of the edge start from the line
+    c1n = c1 * inv_len  # distance change per unit t
+
+    parallel = jnp.abs(c1n) <= _COLLINEAR_EPS
+    on_line = parallel & (jnp.abs(c0n) <= _COLLINEAR_EPS)
+    outside = parallel & (c0n < -_COLLINEAR_EPS)
+
+    safe_c1 = jnp.where(jnp.abs(c1) < _EPS, _EPS, c1)
+    ratio = -c0 / safe_c1
+    lo = jnp.where(~parallel & (c1 > 0), ratio, 0.0)
+    hi = jnp.where(~parallel & (c1 < 0), ratio, 1.0)
+    lo = jnp.where(outside, 2.0, lo)  # empty interval
+    hi = jnp.where(outside, -1.0, hi)
+
+    t0 = jnp.clip(jnp.max(lo, axis=-1), 0.0, 1.0)  # (..., E)
+    t1 = jnp.clip(jnp.min(hi, axis=-1), 0.0, 1.0)
+    keep = (t1 > t0).astype(sa.dtype)
+    weight = jnp.where(jnp.any(on_line, axis=-1), 0.5, 1.0).astype(sa.dtype)
+
+    s = sa + t0[..., None] * da
+    e = sa + t1[..., None] * da
+    contrib = 0.5 * (s[..., 0] * e[..., 1] - s[..., 1] * e[..., 0])
+    return jnp.sum(contrib * keep * weight, axis=-1)
+
+
+def _convex_pair_area(tri_a: jnp.ndarray, tri_b: jnp.ndarray) -> jnp.ndarray:
+    """Intersection area of batched convex CCW polygons (triangles here).
+
+    tri_a, tri_b: (..., V, 2) with matching batch dims.  Closed form:
+    area(A cap B) = sum of Green's contributions of A-edge arcs inside B
+    plus B-edge arcs inside A (the full CCW boundary of the intersection).
+    """
+    sa, da = tri_a, jnp.roll(tri_a, -1, axis=-2) - tri_a
+    sb, db = tri_b, jnp.roll(tri_b, -1, axis=-2) - tri_b
+    area = (_edge_clip_contrib(sa, da, sb, db)
+            + _edge_clip_contrib(sb, db, sa, da))
+    return jnp.maximum(area, 0.0)
+
+
+def _ccw(tris: jnp.ndarray) -> jnp.ndarray:
+    """Orient batched triangles (..., 3, 2) counter-clockwise."""
+    flip = signed_area(tris) < 0
+    swapped = tris[..., jnp.array([0, 2, 1]), :]
+    return jnp.where(flip[..., None, None], swapped, tris)
+
+
 def polygon_intersection_area(p: jnp.ndarray, q: jnp.ndarray) -> jnp.ndarray:
     """Exact area of intersection of two simple polygons, fixed shape.
 
-    p: (N, 2), q: (M, 2) cartesian.  Differentiable a.e.  Replaces the
-    reference's WeilPolygonClipper walk + area (losses.py:488-628, 25-41).
+    p: (..., N, 2), q: (..., M, 2) cartesian, with matching batch dims.
+    Differentiable a.e.  Replaces the reference's WeilPolygonClipper walk
+    + area (losses.py:488-628, 25-41) with the signed triangle-fan
+    identity (module docstring) over a closed-form convex pair area —
+    one fused elementwise computation for the whole batch.
+    """
+    n = p.shape[-2]
+    m = q.shape[-2]
+
+    def fan(poly):
+        b = poly
+        c = jnp.roll(poly, -1, axis=-2)
+        a = jnp.zeros_like(b)
+        tris = jnp.stack([a, b, c], axis=-2)  # (..., K, 3, 2)
+        signs = jnp.sign(signed_area(tris))
+        return _ccw(tris), signs
+
+    tp, sp = fan(p)  # (..., N, 3, 2), (..., N)
+    tq, sq = fan(q)  # (..., M, 3, 2), (..., M)
+
+    batch = tp.shape[:-3]
+    pair_area = _convex_pair_area(
+        jnp.broadcast_to(tp[..., :, None, :, :], batch + (n, m, 3, 2)),
+        jnp.broadcast_to(tq[..., None, :, :, :], batch + (n, m, 3, 2)),
+    )  # (..., N, M)
+    total = jnp.sum(sp[..., :, None] * sq[..., None, :] * pair_area,
+                    axis=(-1, -2))
+    return jnp.abs(total)
+
+
+def polygon_intersection_area_scan(p: jnp.ndarray, q: jnp.ndarray
+                                   ) -> jnp.ndarray:
+    """Sutherland-Hodgman (scan + scatter) variant, kept as a correctness
+    cross-check oracle for the closed-form path (tests/test_geometry.py).
+    ~10^3x slower on TPU at train batch sizes — do not use in losses.
     """
     n = p.shape[0]
     m = q.shape[0]

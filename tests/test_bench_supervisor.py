@@ -30,6 +30,13 @@ def _run_main(monkeypatch, capsys, child_behavior: str,
     child replaced by a tiny python stub."""
     monkeypatch.setattr(bench, "ensure_backend", lambda **kw: 1.0)
     monkeypatch.setenv("CENTERPOLY_BENCH_TIMEOUT", deadline)
+    # Never touch the REAL chip lock from tests: a live queue step holds
+    # it for hours, and each stubbed main() would sleep-poll the full
+    # CENTERPOLY_LOCK_WAIT (observed: the whole suite wedged behind a
+    # train A/B holding the lock).  Tests get a private lock, no wait.
+    monkeypatch.setenv("CENTERPOLY_LOCK_FILE",
+                       f"/tmp/centerpoly_test_{os.getpid()}.lock")
+    monkeypatch.setenv("CENTERPOLY_LOCK_WAIT", "0")
 
     real_popen = subprocess.Popen
 

@@ -246,6 +246,81 @@ class TestIntersectionArea:
         assert float(g[0, 0]) < 0  # vertex at x=-0.5 (left edge)
 
 
+class TestClosedFormVsScanOracle:
+    """The loss-path intersection area is the closed-form Green's-segment
+    formulation; `polygon_intersection_area_scan` keeps the original
+    Sutherland-Hodgman scan as a slow oracle.  These pin their equivalence
+    on the exact polygon families the loss sees."""
+
+    def _batch(self, fn, P, Q):
+        return np.asarray(jax.vmap(fn)(jnp.asarray(P), jnp.asarray(Q)))
+
+    def test_random_polar_pairs(self):
+        from centerpoly_tpu.geometry.polygon import (
+            polygon_intersection_area_scan)
+        rng = np.random.RandomState(3)
+        n, b = 16, 64
+        th1 = np.sort(rng.uniform(0, 2 * np.pi, (b, n)), axis=1)
+        th2 = np.sort(rng.uniform(0, 2 * np.pi, (b, n)), axis=1)
+        r1 = rng.uniform(0.5, 30.0, (b, n))
+        r2 = rng.uniform(0.5, 30.0, (b, n))
+        P = np.stack([r1 * np.cos(th1), r1 * np.sin(th1)], -1).astype(np.float32)
+        Q = np.stack([r2 * np.cos(th2), r2 * np.sin(th2)], -1).astype(np.float32)
+        fast = self._batch(polygon_intersection_area, P, Q)
+        slow = self._batch(polygon_intersection_area_scan, P, Q)
+        np.testing.assert_allclose(fast, slow, rtol=1e-4, atol=1e-3)
+
+    def test_polar_fixed_shared_spokes(self):
+        # polar_fixed rep: pred and GT vertices on the SAME fixed angles,
+        # so every fan-triangle pair shares collinear spoke rays — the
+        # structural coincident-edge case the half-weight rule must handle.
+        from centerpoly_tpu.geometry.polygon import (
+            polygon_intersection_area_scan)
+        rng = np.random.RandomState(4)
+        n, b = 16, 64
+        th = np.tile(np.arange(n) * 2 * np.pi / n, (b, 1)).astype(np.float32)
+        rp = rng.uniform(0.5, 30.0, (b, n)).astype(np.float32)
+        rq = rng.uniform(0.5, 30.0, (b, n)).astype(np.float32)
+        P = np.stack([rp * np.cos(th), rp * np.sin(th)], -1)
+        Q = np.stack([rq * np.cos(th), rq * np.sin(th)], -1)
+        fast = self._batch(polygon_intersection_area, P, Q)
+        slow = self._batch(polygon_intersection_area_scan, P, Q)
+        np.testing.assert_allclose(fast, slow, rtol=1e-4, atol=1e-3)
+
+    def test_identical_polygons_count_once(self):
+        # P cap P = P: every outer edge is coincident in both passes; the
+        # half-weight rule must yield exactly one traversal (2x would be
+        # a 100% area error, 0x would be 0).  Both implementations share
+        # ~1% f32 fan-cancellation noise at this coordinate scale, so
+        # compare fast vs the scan oracle tightly and vs shoelace loosely.
+        from centerpoly_tpu.geometry.polygon import (
+            polygon_intersection_area_scan)
+        rng = np.random.RandomState(5)
+        n, b = 16, 32
+        th = np.sort(rng.uniform(0, 2 * np.pi, (b, n)), axis=1)
+        r = rng.uniform(0.5, 30.0, (b, n))
+        P = np.stack([r * np.cos(th), r * np.sin(th)], -1).astype(np.float32)
+        fast = self._batch(polygon_intersection_area, P, P)
+        slow = self._batch(polygon_intersection_area_scan, P, P)
+        np.testing.assert_allclose(fast, slow, rtol=1e-3, atol=1e-3)
+        true = np.asarray(polygon_area(jnp.asarray(P)))
+        np.testing.assert_allclose(fast, true, rtol=0.02)
+
+    def test_batched_leading_dims(self):
+        # polygon_intersection_area now accepts leading batch dims directly
+        # (the loss path relies on vmap; this pins the broadcast form).
+        rng = np.random.RandomState(6)
+        P = rng.uniform(-3, 3, (2, 5, 8, 2)).astype(np.float32)
+        Q = rng.uniform(-3, 3, (2, 5, 8, 2)).astype(np.float32)
+        batched = np.asarray(polygon_intersection_area(
+            jnp.asarray(P), jnp.asarray(Q)))
+        for i in range(2):
+            for j in range(5):
+                one = float(polygon_intersection_area(
+                    jnp.asarray(P[i, j]), jnp.asarray(Q[i, j])))
+                assert batched[i, j] == pytest.approx(one, rel=1e-5, abs=1e-5)
+
+
 class TestPolygonIoU:
     def test_self_iou_is_one(self):
         sq = square(0, 0, 2.0)
