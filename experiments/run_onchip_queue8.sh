@@ -39,6 +39,10 @@ run() {
 echo "=== 0. tunnel sanity ==="
 alive || exit 1
 
+# Chain: finish queue7 first (train auto-table A/B + bench) — its own
+# markers make this a no-op when already complete.
+bash experiments/run_onchip_queue7.sh || exit 1
+
 run 24_train_rowband_newloss 3600 CENTERPOLY_PALLAS_DCN=rowband:4 python experiments/bench_train_iou.py \
   --arch dla_34 --batch 8 --dtype bfloat16 --steps 8
 
