@@ -101,25 +101,41 @@ def main():
                               "winner": winner}), flush=True)
         return
 
+    rec = measure_train_step(
+        arch=args.arch, batch=args.batch, h=args.h, w=args.w,
+        poly_loss=args.poly_loss, rep=args.rep, dtype=args.dtype,
+        steps=args.steps)
+    print(json.dumps(rec))
+
+
+def measure_train_step(arch="dla_34", batch=8, h=512, w=1024,
+                       poly_loss="l1+iou", rep="polar", dtype="bfloat16",
+                       steps=8):
+    """Build + honestly time one jitted train step; returns a record dict.
+
+    Shared by this script's CLI and bench.py's training secondary — both
+    must trace the IDENTICAL program so the persistent compile cache and
+    the recorded numbers line up.
+    """
     import jax
     from centerpoly_tpu.configs import Config
     from centerpoly_tpu.models import create_model
     from centerpoly_tpu.train import create_train_state, make_train_step
     from centerpoly_tpu.train.trainer import loss_config_for
 
-    cfg = Config(task="polydet", dataset="cityscapes", arch=args.arch,
-                 input_h=args.h, input_w=args.w, batch_size=args.batch,
-                 poly_loss=args.poly_loss, poly_order=args.rep == "polar",
-                 rep=args.rep, elliptical_gt=True, train_dtype=args.dtype)
+    cfg = Config(task="polydet", dataset="cityscapes", arch=arch,
+                 input_h=h, input_w=w, batch_size=batch,
+                 poly_loss=poly_loss, poly_order=rep == "polar",
+                 rep=rep, elliptical_gt=True, train_dtype=dtype)
     import jax.numpy as jnp
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = create_model(cfg.arch, cfg.heads, cfg.head_conv, dtype=dtype)
+    jdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    model = create_model(cfg.arch, cfg.heads, cfg.head_conv, dtype=jdtype)
     state = create_train_state(
         model, jax.random.PRNGKey(0), (1, cfg.input_h, cfg.input_w, 3),
         base_lr=cfg.lr, lr_steps=cfg.lr_step, steps_per_epoch=100)
     step = make_train_step(loss_config_for(cfg))
 
-    b, k, n2 = args.batch, cfg.max_objs, cfg.nbr_points * 2
+    b, k, n2 = batch, cfg.max_objs, cfg.nbr_points * 2
     oh, ow = cfg.output_h, cfg.output_w
     rng = np.random.RandomState(0)
     # polar GT: radii + sorted angles so the IoU clip sees realistic input
@@ -128,7 +144,7 @@ def main():
     poly = np.empty((b, k, n2), np.float32)
     poly[..., 0::2] = radii
     poly[..., 1::2] = angles
-    batch = {
+    batch_d = {
         "input": rng.randn(b, cfg.input_h, cfg.input_w, 3).astype(
             np.float32),
         "hm": np.zeros((b, oh, ow, cfg.num_classes), np.float32),
@@ -138,7 +154,7 @@ def main():
         "pseudo_depth": rng.rand(b, k, 1).astype(np.float32),
         "reg": rng.rand(b, k, 2).astype(np.float32),
     }
-    batch["hm"][:, 5, 5, 0] = 1.0
+    batch_d["hm"][:, 5, 5, 0] = 1.0
 
     # device_put the batch ONCE: the step loop must time device compute,
     # not re-transfer of the 50 MB host batch through the tunnel every
@@ -146,9 +162,9 @@ def main():
     # 0.075 s/step vs 0.024 s for its siblings purely on tunnel state;
     # production input pipelines prefetch to device, so on-device inputs
     # are the honest frames/s/chip contract)
-    batch = jax.device_put(batch)
+    batch_d = jax.device_put(batch_d)
     t0 = time.perf_counter()
-    state0, stats = step(state, batch)
+    state0, stats = step(state, batch_d)
     compile_s = time.perf_counter() - t0
     loss0 = float(stats["loss"])  # fetch = the only real fence on axon
 
@@ -178,20 +194,20 @@ def main():
         # in the repo already passes variables as arguments).
         return step(state_arg, dict(batch_rest, input=inp))
 
-    batch_rest = {k: v for k, v in batch.items() if k != "input"}
+    batch_rest = {k2: v for k2, v in batch_d.items() if k2 != "input"}
     step_s = measure_device_time(
-        scalarize(one_step), [batch["input"], state0, batch_rest],
-        k_small=1, k_big=1 + args.steps, reps=3)
+        scalarize(one_step), [batch_d["input"], state0, batch_rest],
+        k_small=1, k_big=1 + steps, reps=3)
 
     # MFU: compiled-program flops / (step time * chip peak bf16)
     peak = {  # bf16 peak FLOP/s per chip by device kind
         "v4": 275e12, "v5e": 197e12, "v5p": 459e12, "v6e": 918e12,
     }
     kind = jax.devices()[0].device_kind.lower()
-    peak_flops = next((v for k, v in peak.items() if k in kind), 197e12)
+    peak_flops = next((v for k2, v in peak.items() if k2 in kind), 197e12)
     mfu = None
     try:
-        ca = step.lower(state0, batch).compile().cost_analysis()
+        ca = step.lower(state0, batch_d).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
@@ -200,18 +216,18 @@ def main():
     except Exception:
         pass
 
-    print(json.dumps({
-        "config": f"{args.arch} {args.batch}x{args.h}x{args.w} "
-                  f"focal+{args.poly_loss}"
-                  f"{'+order' if cfg.poly_order else ''} ({args.rep}, "
-                  f"{args.dtype})",
+    return {
+        "config": f"{arch} {batch}x{h}x{w} "
+                  f"focal+{poly_loss}"
+                  f"{'+order' if cfg.poly_order else ''} ({rep}, "
+                  f"{dtype})",
         "compile_s": round(compile_s, 2),
         "step_s": round(step_s, 4),
-        "frames_per_s": round(args.batch / step_s, 1),
+        "frames_per_s": round(batch / step_s, 1),
         "mfu": round(mfu, 4) if mfu is not None else None,
         "device_kind": jax.devices()[0].device_kind,
         "loss": loss0,
-    }))
+    }
 
 
 if __name__ == "__main__":
