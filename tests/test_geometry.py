@@ -306,6 +306,36 @@ class TestClosedFormVsScanOracle:
         true = np.asarray(polygon_area(jnp.asarray(P)))
         np.testing.assert_allclose(fast, true, rtol=0.02)
 
+    def test_gradient_matches_finite_differences(self):
+        # The closed-form area is piecewise-rational in the vertices;
+        # away from the branch boundaries its autodiff gradient must
+        # match central differences.  f64 so the FD noise floor is far
+        # below the tolerance.
+        import jax.numpy as jnp  # noqa: F811 - local for the x64 scope
+        rng = np.random.RandomState(11)
+        jax.config.update("jax_enable_x64", True)
+        try:
+            n = 8
+            ang1 = np.sort(rng.uniform(0, 2 * np.pi, n))
+            ang2 = np.sort(rng.uniform(0, 2 * np.pi, n))
+            p = np.stack([3.0 * np.cos(ang1), 3.0 * np.sin(ang1)], -1)
+            q = np.stack([2.5 * np.cos(ang2), 2.5 * np.sin(ang2)], -1) + 0.4
+            p = jnp.asarray(p, jnp.float64)
+            q = jnp.asarray(q, jnp.float64)
+
+            f = lambda pp: polygon_intersection_area(pp, q)
+            g = np.asarray(jax.grad(f)(p))
+            eps = 1e-6
+            for i in range(n):
+                for c in range(2):
+                    d = np.zeros((n, 2))
+                    d[i, c] = eps
+                    fd = (float(f(p + d)) - float(f(p - d))) / (2 * eps)
+                    assert g[i, c] == pytest.approx(fd, rel=1e-4, abs=1e-6), (
+                        f"grad mismatch at vertex {i} coord {c}")
+        finally:
+            jax.config.update("jax_enable_x64", False)
+
     def test_batched_leading_dims(self):
         # polygon_intersection_area now accepts leading batch dims directly
         # (the loss path relies on vmap; this pins the broadcast form).
