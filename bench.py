@@ -100,8 +100,10 @@ def ensure_backend(retries: int = 3, timeout_s: float = None,
     if timeout_s is None:
         # measured 2026-08-19 (round 5): a healthy-but-cold tunnel takes
         # ~116 s of device discovery, so the old 120 s probe cap
-        # misclassified it as dead; default high, env-tunable
-        timeout_s = float(os.environ.get("CENTERPOLY_PROBE_TIMEOUT", "240"))
+        # misclassified it as dead; 2026-08-20 (fresh VM + cold tunnel):
+        # two 240 s probes failed before the third succeeded at 554 s
+        # total — the cold path can exceed 240 s, so default higher still
+        timeout_s = float(os.environ.get("CENTERPOLY_PROBE_TIMEOUT", "420"))
     t0 = time.time()   # TOTAL elapsed, incl. failed attempts + backoff:
     # a success after two 120 s hangs is still a flaky tunnel
     for attempt in range(retries):

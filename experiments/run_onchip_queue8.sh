@@ -21,7 +21,7 @@ MARKERS=${MARKERS:-/tmp/onchip_r5_done}
 mkdir -p "$MARKERS"
 
 alive() {
-  flock -w 3600 /tmp/centerpoly_tpu.lock timeout 240 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); print('alive', float((x@x)[0,0]))"
+  flock -w 3600 /tmp/centerpoly_tpu.lock timeout 420 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); print('alive', float((x@x)[0,0]))"
 }
 gate() {
   alive || { echo "=== TUNNEL LOST - aborting queue (markers kept) ==="; exit 1; }
